@@ -1,0 +1,175 @@
+"""Batched 6-DoF semi-implicit Euler integrator with ground contact.
+
+Replaces the PyBullet backend of the reference (stepSimulation at
+/root/reference/PyFlyt/core/aviary.py:491). PyBullet loads vehicles as
+Featherstone multibodies whose forward dynamics include the gyroscopic
+(ω × Iω) term; integration is semi-implicit Euler (velocities first, then
+positions) at 240 Hz. We reproduce that scheme for a single floating rigid
+body per vehicle (the reference's vehicles are rigid assemblies of massless
+links around one inertial base, e.g. cf2x.urdf).
+
+Everything is shape-polymorphic over leading batch dims and pure, so the whole
+fleet integrates in one fused XLA program.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from pyflyt_tpu.core import math as pm
+from pyflyt_tpu.core.state import Body6DoF
+
+GRAVITY = 9.81  # m/s^2, world -z (aviary.py:176 setGravity(0, 0, -9.81))
+
+
+@struct.dataclass
+class RigidBodyParams:
+    """Inertial parameters. Batched fields broadcast against the state."""
+
+    mass: Array  # (...,) or scalar
+    inertia: Array  # (..., 3) diagonal body-frame inertia
+
+
+def step(
+    body: Body6DoF,
+    params: RigidBodyParams,
+    force_body: Array,
+    torque_body: Array,
+    dt: float,
+    force_world: Array | None = None,
+) -> Body6DoF:
+    """One semi-implicit Euler step under body-frame wrench + gravity.
+
+    Args:
+        body: current rigid-body state.
+        params: mass/inertia (may be time-varying, e.g. rocket fuel burn).
+        force_body: (..., 3) total external force in the body frame
+            (PyBullet LINK_FRAME application, motors.py:148-151).
+        torque_body: (..., 3) total external torque in the body frame.
+        dt: physics period (1/240 s by default).
+        force_world: optional (..., 3) extra world-frame force.
+
+    Returns:
+        The integrated state.
+    """
+    mass = jnp.asarray(params.mass)[..., None]
+    inertia = params.inertia
+    R = pm.quat_to_rotmat(body.quat)
+
+    # --- linear: v' = v + dt (g + R f_b / m [+ f_w / m])
+    force_w = jnp.einsum("...ij,...j->...i", R, force_body)
+    if force_world is not None:
+        force_w = force_w + force_world
+    accel = force_w / mass
+    accel = accel - jnp.asarray([0.0, 0.0, GRAVITY], dtype=body.pos.dtype)
+    lin_vel = body.lin_vel + dt * accel
+
+    # --- angular (body frame Euler equations, incl. gyroscopic term):
+    # ω̇_b = I⁻¹ (τ_b − ω_b × I ω_b)
+    omega_b = jnp.einsum("...ji,...j->...i", R, body.ang_vel)  # R^T ω_w
+    gyro = jnp.cross(omega_b, inertia * omega_b)
+    omega_b_dot = (torque_body - gyro) / inertia
+    omega_b_new = omega_b + dt * omega_b_dot
+    ang_vel = jnp.einsum("...ij,...j->...i", R, omega_b_new)
+
+    # --- positions last (semi-implicit)
+    pos = body.pos + dt * lin_vel
+    quat = pm.quat_integrate(body.quat, ang_vel, dt)
+
+    return Body6DoF(pos=pos, quat=quat, lin_vel=lin_vel, ang_vel=ang_vel)
+
+
+# ---------------------------------------------------------------------------
+# ground contact
+# ---------------------------------------------------------------------------
+# The reference gets contacts from PyBullet's solver and exposes them only as
+# a boolean contact matrix (aviary.py:493-496); task envs terminate on any
+# contact except landing tasks which must rest on a pad
+# (rocket_landing_env.py:229-258). We therefore implement a cheap
+# impulse-style point-contact model against the z=0 plane: enough to detect
+# touches, kill bounces, and let a vehicle rest.
+
+
+@struct.dataclass
+class ContactGeom:
+    """Collision sample points of the vehicle in the body frame."""
+
+    points: Array  # (n_pts, 3) body-frame contact sample points
+    friction: float = struct.field(pytree_node=False, default=0.5)
+    restitution: float = struct.field(pytree_node=False, default=0.0)
+
+
+def ground_contact(
+    body: Body6DoF,
+    params: RigidBodyParams,
+    geom: ContactGeom,
+    ground_z: float | Array = 0.0,
+) -> tuple[Body6DoF, Array]:
+    """Detects and resolves contact of body-frame sample points with z=ground_z.
+
+    Sequential-impulse-lite: one batched pass of normal + friction impulses at
+    the deepest point, plus positional projection. Returns (state, contact?).
+    """
+    R = pm.quat_to_rotmat(body.quat)
+    # world positions of contact points: (..., n, 3)
+    pts_w = body.pos[..., None, :] + jnp.einsum("...ij,...nj->...ni", R, geom.points)
+    depth = ground_z - pts_w[..., 2]  # >0 means penetrating
+    contact = jnp.any(depth > 0.0, axis=-1)
+
+    # deepest point drives the impulse
+    i_deep = jnp.argmax(depth, axis=-1)
+    r_w = jnp.take_along_axis(
+        pts_w - body.pos[..., None, :], i_deep[..., None, None], axis=-2
+    )[..., 0, :]
+    max_depth = jnp.take_along_axis(depth, i_deep[..., None], axis=-1)[..., 0]
+
+    mass = jnp.asarray(params.mass)
+    inertia_w_inv = 1.0 / jnp.einsum(
+        "...ij,...j->...i", R * R, params.inertia
+    )  # approx: diag of R I R^T inverse (exact for near-axis-aligned)
+
+    # point velocity
+    v_pt = body.lin_vel + jnp.cross(body.ang_vel, r_w)
+
+    # --- normal impulse (zero downward normal velocity, restitution bounce)
+    n = jnp.asarray([0.0, 0.0, 1.0], dtype=body.pos.dtype)
+    v_n = v_pt[..., 2]
+    # effective mass along normal at the contact point
+    rxn = jnp.cross(r_w, n)
+    k_n = 1.0 / mass + jnp.sum(rxn * rxn * inertia_w_inv, axis=-1)
+    j_n = jnp.maximum(-(1.0 + geom.restitution) * v_n / k_n, 0.0)
+    j_n = jnp.where(contact & (v_n < 0.0), j_n, 0.0)
+    impulse = j_n[..., None] * n
+
+    # --- friction impulse (Coulomb clamp against tangential point velocity)
+    v_t = v_pt * jnp.asarray([1.0, 1.0, 0.0], dtype=body.pos.dtype)
+    v_t_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
+    t_dir = v_t / jnp.maximum(v_t_norm, 1e-9)
+    rxt = jnp.cross(r_w, t_dir)
+    k_t = 1.0 / mass + jnp.sum(rxt * rxt * inertia_w_inv, axis=-1)
+    j_t = jnp.minimum(v_t_norm[..., 0] / k_t, geom.friction * j_n)
+    impulse = impulse - jnp.where(contact[..., None], j_t[..., None] * t_dir, 0.0)
+
+    lin_vel = body.lin_vel + impulse / mass[..., None]
+    ang_vel = body.ang_vel + jnp.cross(r_w, impulse) * inertia_w_inv
+
+    # --- positional projection: lift the body out of the ground
+    pos = body.pos + jnp.where(
+        contact[..., None],
+        jnp.stack(
+            [
+                jnp.zeros_like(max_depth),
+                jnp.zeros_like(max_depth),
+                jnp.maximum(max_depth, 0.0),
+            ],
+            axis=-1,
+        ),
+        0.0,
+    )
+
+    lin_vel = jnp.where(contact[..., None], lin_vel, body.lin_vel)
+    ang_vel = jnp.where(contact[..., None], ang_vel, body.ang_vel)
+
+    return Body6DoF(pos=pos, quat=body.quat, lin_vel=lin_vel, ang_vel=ang_vel), contact

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding paths are validated on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=8``); the real TPU is reserved for
+benchmarks (bench.py), not unit tests. The sandbox pre-imports jax with the
+remote-TPU ("axon") platform via sitecustomize, so plain env vars are not
+enough — we switch the platform through jax.config before any backend
+initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
