@@ -118,12 +118,16 @@ def ground_contact(
     depth = ground_z - pts_w[..., 2]  # >0 means penetrating
     contact = jnp.any(depth > 0.0, axis=-1)
 
-    # deepest point drives the impulse
-    i_deep = jnp.argmax(depth, axis=-1)
-    r_w = jnp.take_along_axis(
-        pts_w - body.pos[..., None, :], i_deep[..., None, None], axis=-2
-    )[..., 0, :]
-    max_depth = jnp.take_along_axis(depth, i_deep[..., None], axis=-1)[..., 0]
+    # the impulse acts at the depth-weighted centroid of penetrating points
+    # (stable flat resting; coincides with the deepest point for single-corner
+    # contact)
+    w = jnp.maximum(depth, 0.0)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)
+    w_norm = w / jnp.maximum(w_sum, 1e-12)
+    r_w = jnp.sum(
+        (pts_w - body.pos[..., None, :]) * w_norm[..., None], axis=-2
+    )
+    max_depth = jnp.max(depth, axis=-1)
 
     mass = jnp.asarray(params.mass)
     inertia_w_inv = 1.0 / jnp.einsum(

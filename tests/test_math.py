@@ -7,7 +7,13 @@ import pytest
 
 from pyflyt_tpu.core import math as pm
 
-jax.config.update("jax_enable_x64", True)
+
+@pytest.fixture(autouse=True)
+def _x64():
+    """Run the math precision tests in float64, restoring f32 afterwards."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 
 def random_quats(key, n):
