@@ -1,0 +1,22 @@
+"""Functional task environments + Gymnasium compatibility wrappers.
+
+Environment IDs mirror the reference registrations
+(/root/reference/PyFlyt/gym_envs/__init__.py:7-30):
+
+- ``PyFlyt/QuadX-Hover-v1``
+- ``PyFlyt/QuadX-Waypoints-v1``
+- ``PyFlyt/Fixedwing-Waypoints-v1``
+- ``PyFlyt/Rocket-Landing-v1``
+
+The functional API is the fast path::
+
+    env = QuadXHoverEnv()
+    state, obs = env.reset(key)
+    state, out = env.step(state, action)   # out: obs, reward, term, trunc, info
+
+All methods are pure and jit/vmap/scan-composable; batching is `vmap` over the
+reset keys.
+"""
+
+from pyflyt_tpu.envs.base import StepOut, autoreset_step, vec_reset, vec_step  # noqa: F401
+from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv  # noqa: F401

@@ -520,9 +520,15 @@ def step(
     mode: int,
     key: Array | None = None,
     wind_fn=None,
-) -> QuadXState:
+) -> tuple[QuadXState, Array]:
     """One Aviary.step equivalent: ``physics_control_ratio`` physics iters with
-    the controller gated at iteration 0 (aviary.py:478-500, single drone)."""
+    the controller gated at iteration 0 (aviary.py:478-500, single drone).
+
+    Returns ``(state, any_contact)`` where ``any_contact`` accumulates contact
+    over the step's physics iterations, mirroring the Aviary's per-step
+    contact_array reset + splice (aviary.py:475, 493-496).
+    """
+    any_contact = jnp.zeros_like(state.contact)
     for s in range(cfg.physics_control_ratio):
         if s % cfg.physics_control_ratio == 0:
             state = update_control(state, params, cfg, mode)
@@ -535,4 +541,5 @@ def step(
             t = state.physics_steps.astype(cfg.dtype) * cfg.physics_period
             wind_vel = wind_fn(t, state.body.pos)
         state = physics_iter(state, params, cfg, sub, wind_vel)
-    return state
+        any_contact = any_contact | state.contact
+    return state, any_contact

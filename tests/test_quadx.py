@@ -64,7 +64,7 @@ def test_hover_equilibrium_mode_neg1():
     )
 
     def body(state, _):
-        state = quadx.step(state, PARAMS, CFG, mode=-1)
+        state, _ = quadx.step(state, PARAMS, CFG, mode=-1)
         return state, None
 
     state, _ = jax.lax.scan(body, state, None, length=240)  # 2 seconds
@@ -81,7 +81,7 @@ def test_mode7_position_hold():
     state = state.replace(setpoint=jnp.array([0.0, 0.0, 0.0, 1.0]))
 
     def body(state, _):
-        return quadx.step(state, PARAMS, CFG, mode=7), None
+        return quadx.step(state, PARAMS, CFG, mode=7)[0], None
 
     state, _ = jax.lax.scan(body, state, None, length=480)  # 4 seconds
     # the reference cascade has no gravity feedforward: the vehicle sags below
@@ -99,7 +99,7 @@ def test_mode7_position_step_response():
     state = state.replace(setpoint=jnp.array([1.0, -1.0, 0.0, 1.5]))
 
     def body(state, _):
-        return quadx.step(state, PARAMS, CFG, mode=7), None
+        return quadx.step(state, PARAMS, CFG, mode=7)[0], None
 
     state, _ = jax.lax.scan(body, state, None, length=120 * 8)
     err = np.abs(np.asarray(state.body.pos) - np.array([1.0, -1.0, 1.5]))
@@ -112,7 +112,7 @@ def test_free_fall_and_ground_contact():
     state = make_state(pos=(0.0, 0.0, 1.0))
     # zero pwm: throttle stays 0, free fall. t = sqrt(2h/g) ~ 0.45s ~ 54 steps
     def body(state, _):
-        return quadx.step(state, PARAMS, CFG, mode=-1), None
+        return quadx.step(state, PARAMS, CFG, mode=-1)[0], None
 
     state, _ = jax.lax.scan(body, state, None, length=120)
     assert bool(state.contact)
@@ -147,13 +147,13 @@ def test_batched_step_matches_single():
         setpoint=jnp.tile(jnp.asarray([0.1, -0.1, 0.2, 0.5]), (2, 1))
     )
     for _ in range(20):
-        state_b = quadx.step(state_b, PARAMS, CFG, mode=0)
+        state_b, _ = quadx.step(state_b, PARAMS, CFG, mode=0)
 
     for i in range(2):
         s = quadx.init_state(PARAMS, CFG, pos[i], orn[i])
         s = s.replace(setpoint=jnp.asarray([0.1, -0.1, 0.2, 0.5]))
         for _ in range(20):
-            s = quadx.step(s, PARAMS, CFG, mode=0)
+            s, _ = quadx.step(s, PARAMS, CFG, mode=0)
         np.testing.assert_allclose(state_b.body.pos[i], s.body.pos, atol=1e-5)
         np.testing.assert_allclose(state_b.body.quat[i], s.body.quat, atol=1e-5)
 
@@ -165,7 +165,7 @@ def test_angular_rate_tracking_mode0():
     state = state.replace(setpoint=jnp.array([0.0, 0.0, 1.0, HOVER_PWM]))
 
     def body(state, _):
-        return quadx.step(state, PARAMS, CFG, mode=0), None
+        return quadx.step(state, PARAMS, CFG, mode=0)[0], None
 
     state, _ = jax.lax.scan(body, state, None, length=240)
     yaw_rate = float(state.read.ang_vel_body[2])

@@ -1,0 +1,161 @@
+"""Tests for the QuadX Hover environment: determinism, semantics, batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyflyt_tpu.envs import autoreset_step, vec_reset
+from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv
+
+ENV = QuadXHoverEnv()
+HOVER_T = float(np.sqrt(0.027 * 9.81 / 2.0))
+
+
+def test_obs_shape_and_reset():
+    state, obs = ENV.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (21,)  # 13 attitude(quat) + 4 action + 4 aux
+    assert not bool(state.termination)
+    # after 10 stabilization steps at min-pwm thrust the drone is falling
+    assert float(state.drone.body.lin_vel[2]) < 0.0
+
+
+def test_euler_obs_shape():
+    env = QuadXHoverEnv(angle_representation="euler")
+    _, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs.shape == (20,)
+
+
+def test_seeded_determinism():
+    """Same seed ⇒ identical obs/reward/term/trunc over 50 steps
+    (the reference's contract, tests/test_gym_envs.py:133-153)."""
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(42), (50, 4), minval=-0.3, maxval=0.3
+    )
+    actions = actions.at[:, 3].set(HOVER_T)
+
+    def rollout(seed):
+        state, obs = ENV.reset(jax.random.PRNGKey(seed))
+        rows = [obs]
+        rews, terms = [], []
+        step = jax.jit(ENV.step)
+        for a in actions:
+            state, out = step(state, a)
+            rows.append(out.obs)
+            rews.append(float(out.reward))
+            terms.append(bool(out.termination))
+        return np.array(rows), np.array(rews), np.array(terms)
+
+    o1, r1, t1 = rollout(7)
+    o2, r2, t2 = rollout(7)
+    np.testing.assert_array_equal(o1, o2)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(t1, t2)
+
+    # different seed diverges (motor noise is seeded)
+    o3, _, _ = rollout(8)
+    assert not np.allclose(o1, o3)
+
+
+def test_reward_semantics_shaped_per_inner_step():
+    """Dense reward = −0.1 + Σ_inner (1 − dist − angdist); with 120/40 = 3
+    inner steps the healthy-hover reward sits near −0.1 + 3·(1 − ~0 − ~0)."""
+    env = QuadXHoverEnv(noisy_motors=False)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    action = jnp.asarray([0.0, 0.0, 0.0, HOVER_T])
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state, out = step(state, action)
+    r = float(out.reward)
+    assert 1.0 < r < 2.9, r  # 3 inner steps, some sag/tilt penalty
+
+
+def test_collision_reward():
+    """Crashing into the ground must yield reward −100 + termination."""
+    env = QuadXHoverEnv(noisy_motors=False)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    action = jnp.zeros(4)  # no thrust -> fall from 1 m
+    step = jax.jit(env.step)
+    for _ in range(60):
+        state, out = step(state, action)
+        if bool(out.termination):
+            break
+    assert bool(out.termination)
+    assert bool(out.info["collision"])
+    # shaping applies after the -100 overwrite: -100 + 1 - dist - ang
+    assert -102.0 < float(out.reward) < -98.0
+
+
+def test_out_of_bounds():
+    env = QuadXHoverEnv(noisy_motors=False, flight_dome_size=1.5)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    action = jnp.asarray([0.0, 0.0, 0.0, 0.8])  # full thrust -> fly up & out
+    step = jax.jit(env.step)
+    for _ in range(100):
+        state, out = step(state, action)
+        if bool(out.termination):
+            break
+    assert bool(out.termination) and bool(out.info["out_of_bounds"])
+
+
+def test_truncation_at_max_duration():
+    env = QuadXHoverEnv(noisy_motors=False, max_duration_seconds=1.0, flight_dome_size=100.0)
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    action = jnp.asarray([0.0, 0.0, 0.0, HOVER_T])
+    step = jax.jit(env.step)
+    n = 0
+    for _ in range(200):
+        state, out = step(state, action)
+        n += 1
+        if bool(out.truncation) or bool(out.termination):
+            break
+    assert bool(out.truncation)
+    # step_count > max_steps triggers truncation: max_steps+2 agent steps
+    assert n == env.max_steps + 2, n
+
+
+def test_vectorized_autoreset_rollout():
+    """8 envs, 100 autoreset steps under one jit: shapes + progress sanity."""
+    env = QuadXHoverEnv()
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    state, obs = vec_reset(env, keys)
+    assert obs.shape == (8, 21)
+
+    @jax.jit
+    def run(state):
+        def body(st, _):
+            action = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, HOVER_T]), (8, 1))
+            st, out = autoreset_step(env, st, action)
+            return st, (out.reward, out.termination | out.truncation)
+
+        return jax.lax.scan(body, state, None, length=100)
+
+    state, (rewards, dones) = run(state)
+    assert rewards.shape == (100, 8)
+    assert np.isfinite(np.asarray(rewards)).all()
+    # the batch keeps running after episode ends (auto-reset)
+    assert not np.asarray(dones[-1]).all() or np.asarray(dones).sum() > 0
+
+
+def test_gymnasium_wrapper_api():
+    import gymnasium
+
+    from pyflyt_tpu.envs.gym_wrapper import GymnasiumEnv
+
+    genv = GymnasiumEnv(QuadXHoverEnv())
+    obs, info = genv.reset(seed=3)
+    assert genv.observation_space.contains(obs)
+    for _ in range(10):
+        action = genv.action_space.sample()
+        obs, reward, term, trunc, info = genv.step(action)
+        assert genv.observation_space.contains(obs)
+        assert isinstance(reward, float)
+        if term or trunc:
+            break
+
+    # registered ID
+    from pyflyt_tpu.envs.gym_wrapper import register_envs
+
+    register_envs()
+    genv2 = gymnasium.make("PyFlyt/QuadX-Hover-v1")
+    obs, _ = genv2.reset(seed=0)
+    assert obs.shape == (21,)
