@@ -1,0 +1,77 @@
+"""Headline benchmark: env-steps/s at 8192 QuadX-Hover instances on one chip.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md); the recorded
+north-star target is ≥10M env-steps/s at 8192 envs on one TPU v5e chip, so
+``vs_baseline`` is reported relative to that target.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from pyflyt_tpu.envs import autoreset_step, vec_reset
+from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv
+
+NUM_ENVS = 8192
+STEPS_PER_CHUNK = 256
+TARGET_ENV_STEPS_PER_S = 10_000_000.0  # BASELINE.json north star
+
+
+def main():
+    env = QuadXHoverEnv()
+    keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
+    state, _ = jax.jit(lambda k: vec_reset(env, k))(keys)
+
+    hover_t = float(jnp.sqrt(0.027 * 9.81 / 2.0))
+
+    @jax.jit
+    def rollout_chunk(state, key):
+        def body(carry, _):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            # cheap stochastic policy: hover action + exploration noise
+            action = jnp.asarray([0.0, 0.0, 0.0, hover_t]) + 0.1 * jax.random.normal(
+                sub, (NUM_ENVS, 4)
+            )
+            st, out = autoreset_step(env, st, action)
+            return (st, key), out.reward
+
+        (state, key), rewards = jax.lax.scan(
+            body, (state, key), None, length=STEPS_PER_CHUNK
+        )
+        return state, key, rewards.sum()
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, key, _ = rollout_chunk(state, key)
+    jax.block_until_ready(state)
+
+    n_chunks = 4
+    t0 = time.perf_counter()
+    total = 0.0
+    for _ in range(n_chunks):
+        state, key, rsum = rollout_chunk(state, key)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    env_steps = NUM_ENVS * STEPS_PER_CHUNK * n_chunks
+    steps_per_s = env_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"QuadX-Hover env-steps/s ({NUM_ENVS} envs, 1 chip)",
+                "value": round(steps_per_s),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / TARGET_ENV_STEPS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
