@@ -64,7 +64,10 @@ class GymnasiumEnv(gymnasium.Env if gymnasium else object):
 
     def step(self, action):
         self._state, out = self._jit_step(self._state, jnp.asarray(action))
-        info = {k: bool(v) for k, v in out.info.items()}
+        info = {
+            k: bool(v) if np.asarray(v).dtype == np.bool_ else np.asarray(v).item()
+            for k, v in out.info.items()
+        }
         return (
             self._to_numpy(out.obs),
             float(out.reward),

@@ -179,6 +179,7 @@ class QuadXBaseEnv:
         action: Array,
         task_update: Callable[[QuadXEnvState, Array], QuadXEnvState],
         obs_fn: Callable[[QuadXEnvState], Any],
+        extra_info: Callable[[QuadXEnvState], dict[str, Any]] | None = None,
     ) -> tuple[QuadXEnvState, StepOut]:
         """The shared agent-step loop (quadx_base_env.py:248-279).
 
@@ -224,6 +225,7 @@ class QuadXBaseEnv:
                 "collision": state.collision,
                 "out_of_bounds": state.out_of_bounds,
                 "env_complete": state.env_complete,
+                **(extra_info(state) if extra_info is not None else {}),
             },
         )
         return state, out

@@ -538,8 +538,8 @@ def step(
             sub = None
         wind_vel = None
         if wind_fn is not None:
-            t = state.physics_steps.astype(cfg.dtype) * cfg.physics_period
-            wind_vel = wind_fn(t, state.body.pos)
+            # WindFn protocol (core/wind.py): (physics_step, ENU position)
+            wind_vel = wind_fn(state.physics_steps, state.body.pos)
         state = physics_iter(state, params, cfg, sub, wind_vel)
         any_contact = any_contact | state.contact
     return state, any_contact
