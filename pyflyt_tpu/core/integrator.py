@@ -26,10 +26,24 @@ GRAVITY = 9.81  # m/s^2, world -z (aviary.py:176 setGravity(0, 0, -9.81))
 
 @struct.dataclass
 class RigidBodyParams:
-    """Inertial parameters. Batched fields broadcast against the state."""
+    """Inertial parameters. Batched fields broadcast against the state.
+
+    ``inertia`` is the body-frame inertia about the center of mass: a
+    ``(..., 3)`` diagonal by default, or a full ``(..., 3, 3)`` tensor when
+    ``full_inertia`` is set (multibody composites assembled from URDF point
+    masses have off-diagonal terms — see models/fixedwing.py).
+    """
 
     mass: Array  # (...,) or scalar
-    inertia: Array  # (..., 3) diagonal body-frame inertia
+    inertia: Array  # (..., 3) diagonal or (..., 3, 3) full body-frame inertia
+    full_inertia: bool = struct.field(pytree_node=False, default=False)
+
+    def inertia_diag(self) -> Array:
+        """The (..., 3) diagonal (exact for diagonal params, the tensor
+        diagonal otherwise — used by the approximate contact model)."""
+        if self.full_inertia:
+            return jnp.diagonal(self.inertia, axis1=-2, axis2=-1)
+        return self.inertia
 
 
 def step(
@@ -69,8 +83,15 @@ def step(
     # --- angular (body frame Euler equations, incl. gyroscopic term):
     # ω̇_b = I⁻¹ (τ_b − ω_b × I ω_b)
     omega_b = jnp.einsum("...ji,...j->...i", R, body.ang_vel)  # R^T ω_w
-    gyro = jnp.cross(omega_b, inertia * omega_b)
-    omega_b_dot = (torque_body - gyro) / inertia
+    if params.full_inertia:
+        I_omega = jnp.einsum("...ij,...j->...i", inertia, omega_b)
+        gyro = jnp.cross(omega_b, I_omega)
+        omega_b_dot = jnp.linalg.solve(
+            inertia, (torque_body - gyro)[..., None]
+        )[..., 0]
+    else:
+        gyro = jnp.cross(omega_b, inertia * omega_b)
+        omega_b_dot = (torque_body - gyro) / inertia
     omega_b_new = omega_b + dt * omega_b_dot
     ang_vel = jnp.einsum("...ij,...j->...i", R, omega_b_new)
 
@@ -131,7 +152,7 @@ def ground_contact(
 
     mass = jnp.asarray(params.mass)
     inertia_w_inv = 1.0 / jnp.einsum(
-        "...ij,...j->...i", R * R, params.inertia
+        "...ij,...j->...i", R * R, params.inertia_diag()
     )  # approx: diag of R I R^T inverse (exact for near-axis-aligned)
 
     # point velocity

@@ -35,6 +35,15 @@ class FunctionalEnv(Protocol):
     def step(self, state: Any, action: Array) -> tuple[Any, StepOut]: ...
 
 
+def tree_select(mask: Array, on_true: Any, on_false: Any) -> Any:
+    """Broadcasting ``where`` over matching pytrees (mask has batch shape)."""
+    def pick(t, f):
+        m = mask.reshape(mask.shape + (1,) * (jnp.ndim(f) - mask.ndim))
+        return jnp.where(m, t, f)
+
+    return jax.tree.map(pick, on_true, on_false)
+
+
 # ---------------------------------------------------------------------------
 # vectorization + auto-reset
 # ---------------------------------------------------------------------------
