@@ -23,3 +23,5 @@ from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv  # noqa: F401
 from pyflyt_tpu.envs.quadx_waypoints import QuadXWaypointsEnv  # noqa: F401
 from pyflyt_tpu.envs.fixedwing_waypoints import FixedwingWaypointsEnv  # noqa: F401
 from pyflyt_tpu.envs.rocket_landing import RocketLandingEnv  # noqa: F401
+from pyflyt_tpu.envs.ma_quadx_hover import MAQuadXHoverEnv  # noqa: F401
+from pyflyt_tpu.envs.ma_fixedwing_dogfight import MAFixedwingDogfightEnv  # noqa: F401

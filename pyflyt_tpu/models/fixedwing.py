@@ -185,18 +185,24 @@ def init_state(
     start_pos: Array,
     start_orn: Array,
     mode: int = 0,
+    start_vel: Array | None = None,
 ) -> FixedwingState:
     """Reset state: base origin at ``start_pos``, world velocity
-    ``cfg.starting_velocity`` (fixedwing.py:181-192)."""
+    ``cfg.starting_velocity`` (fixedwing.py:181-192) or the per-reset
+    ``start_vel`` override (dogfight spawns along the forward vector —
+    ma_fixedwing_dogfight_env.py:129-135)."""
     start_pos = jnp.asarray(start_pos, dtype=cfg.dtype)
     start_orn = jnp.asarray(start_orn, dtype=cfg.dtype)
     batch = start_pos.shape[:-1]
     quat = pm.euler_to_quat(start_orn)
     R = pm.quat_to_rotmat(quat)
     com_pos = start_pos + jnp.einsum("...ij,...j->...i", R, params.com_offset)
-    vel = jnp.broadcast_to(
-        jnp.asarray(cfg.starting_velocity, dtype=cfg.dtype), start_pos.shape
-    )
+    if start_vel is None:
+        vel = jnp.broadcast_to(
+            jnp.asarray(cfg.starting_velocity, dtype=cfg.dtype), start_pos.shape
+        )
+    else:
+        vel = jnp.asarray(start_vel, dtype=cfg.dtype)
     body = Body6DoF(
         pos=com_pos, quat=quat, lin_vel=vel, ang_vel=jnp.zeros_like(com_pos)
     )
