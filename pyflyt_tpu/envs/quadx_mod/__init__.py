@@ -1,0 +1,8 @@
+"""Fork-modified QuadX envs (normalized obs/actions, shaped rewards).
+
+Re-implements /root/reference/PyFlyt/gym_envs/quadx_mod_envs/: the RL
+training environments the fork's PPO pipelines consume (rl_training/).
+"""
+
+from pyflyt_tpu.envs.quadx_mod.hovering import QuadXModHoveringEnv  # noqa: F401
+from pyflyt_tpu.envs.quadx_mod.pid_expert import hovering_pid_expert  # noqa: F401

@@ -1,0 +1,48 @@
+"""Orbax checkpointing of the full training state.
+
+The reference only checkpoints SB3 model zips via its eval callback
+(/root/reference/PyFlyt/rl_training/custom_eval_callback.py:88-105). Here the
+checkpoint covers params + optimizer state + env state + PRNG key
+(SURVEY.md §5: "orbax checkpoints of params+opt_state+env_state+PRNG keys"),
+so training resumes bit-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save(path: str, runner: Any) -> None:
+    """Saves a RunnerState pytree to ``path`` (overwrites)."""
+    path = os.path.abspath(path)
+    _checkpointer().save(path, runner, force=True)
+
+
+def restore(path: str, template: Any) -> Any:
+    """Restores a RunnerState saved by :func:`save`.
+
+    ``template`` is a matching pytree (e.g. a fresh ``PPO.init`` output) used
+    to recover array dtypes/shapes and custom dataclass structure.
+    """
+    path = os.path.abspath(path)
+    restored = _checkpointer().restore(path, item=template)
+    return restored
+
+
+def best_model_name(idx: int, mean_len: float, std_len: float,
+                    mean_rew: float, std_rew: float) -> str:
+    """The reference's best-model naming convention
+    (custom_eval_callback.py:88-105)."""
+    return (
+        f"best_model_{idx}_{mean_len:.0f}_{std_len:.0f}"
+        f"_{mean_rew:.0f}_{std_rew:.0f}"
+    )

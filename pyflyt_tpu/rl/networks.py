@@ -1,0 +1,78 @@
+"""Actor-critic policy networks.
+
+Replaces the reference's SB3 ``MlpPolicy`` + ``CustomFeatureExtractor``
+(/root/reference/PyFlyt/rl_training/custom_feature_extractor.py:14-26: a
+2×256 tanh MLP) with a flax module: shared feature extractor, separate
+policy/value heads (net_arch mirrors the SB3 ``pi``/``vf`` lists — the
+trajectory-following recipes use [64, 64, 32, 32],
+rl_training/trajectory_following_fast/training.py:112-122), diagonal
+Gaussian action head with state-independent log-std (SB3's default for Box
+action spaces).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import Array
+
+
+class MLP(nn.Module):
+    sizes: Sequence[int]
+    activate_last: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i, size in enumerate(self.sizes):
+            x = nn.Dense(size, kernel_init=nn.initializers.orthogonal(jnp.sqrt(2.0)))(x)
+            if self.activate_last or i < len(self.sizes) - 1:
+                x = nn.tanh(x)
+        return x
+
+
+class ActorCritic(nn.Module):
+    """Separate actor/critic tanh MLPs + diagonal Gaussian policy.
+
+    Separate trunks match SB3's effective default (independent ``pi``/``vf``
+    nets inside ``MlpExtractor``) and keep the enormous early value loss
+    (±100-scale returns in these envs) from wrecking the policy features.
+    ``pi_sizes``/``vf_sizes`` append extra head layers as in SB3's
+    ``net_arch`` lists.
+    """
+
+    action_dim: int
+    feature_sizes: Sequence[int] = (256, 256)
+    pi_sizes: Sequence[int] = ()
+    vf_sizes: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, obs: Array) -> tuple[Array, Array, Array]:
+        """Returns (action_mean, log_std, value)."""
+        pi = MLP((*self.feature_sizes, *self.pi_sizes), name="pi_trunk")(obs)
+        mean = nn.Dense(
+            self.action_dim,
+            kernel_init=nn.initializers.orthogonal(0.01),
+            name="pi_head",
+        )(pi)
+        log_std = self.param(
+            "log_std", nn.initializers.zeros, (self.action_dim,)
+        )
+
+        vf = MLP((*self.feature_sizes, *self.vf_sizes), name="vf_trunk")(obs)
+        value = nn.Dense(
+            1, kernel_init=nn.initializers.orthogonal(1.0), name="vf_head"
+        )(vf)
+        return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
+
+
+def gaussian_log_prob(mean: Array, log_std: Array, action: Array) -> Array:
+    """Diagonal Gaussian log-density, summed over action dims."""
+    var = jnp.exp(2.0 * log_std)
+    lp = -0.5 * ((action - mean) ** 2 / var + 2.0 * log_std + jnp.log(2.0 * jnp.pi))
+    return jnp.sum(lp, axis=-1)
+
+
+def gaussian_entropy(log_std: Array) -> Array:
+    return jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e), axis=-1)

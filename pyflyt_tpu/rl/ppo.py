@@ -1,0 +1,345 @@
+"""PPO on vectorized on-device environments.
+
+Replaces the reference's SB3 PPO + SubprocVecEnv training stack
+(/root/reference/PyFlyt/rl_training/hovering/training.py:159-206): instead of
+one OS process per environment with pickle pipes, the whole
+rollout-collection + GAE + minibatch-SGD loop is ONE jitted program over the
+batched functional env. Scaling is data parallelism over the env axis of a
+``jax.sharding.Mesh`` (SURVEY.md §2.4): env state sharded ``P('env')``,
+parameters replicated, gradient all-reduce inserted by XLA.
+
+Hyperparameter defaults mirror SB3's PPO defaults used by the reference
+(lr 3e-4, γ 0.99, λ 0.95, clip 0.2, vf 0.5, grad-norm 0.5) with the
+reference's batch sizing (training.py:81-101: batch=control_hz,
+n_steps=32·batch, n_epochs=15 — here expressed per-env).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import Array
+
+from pyflyt_tpu.envs.base import FunctionalEnv, autoreset_step
+from pyflyt_tpu.rl.networks import (
+    ActorCritic,
+    gaussian_entropy,
+    gaussian_log_prob,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    num_envs: int = 1024
+    rollout_steps: int = 32  # env steps collected per iteration per env
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    entropy_coef: float = 0.0
+    value_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    num_epochs: int = 15  # training.py:85
+    num_minibatches: int = 32
+    feature_sizes: tuple = (256, 256)  # custom_feature_extractor.py:18-23
+    pi_sizes: tuple = ()
+    vf_sizes: tuple = ()
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_envs * self.rollout_steps
+
+    @property
+    def minibatch_size(self) -> int:
+        return self.batch_size // self.num_minibatches
+
+
+@struct.dataclass
+class RunnerState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    obs: Array  # (num_envs, obs_dim)
+    key: Array
+    update_idx: Array  # scalar int32
+
+
+@struct.dataclass
+class Transition:
+    obs: Array
+    action: Array
+    log_prob: Array
+    value: Array
+    reward: Array
+    done: Array
+
+
+def _flat_obs(obs: Any) -> Array:
+    """Dict observations are flattened (sorted keys) for the MLP policy."""
+    if isinstance(obs, dict):
+        return jnp.concatenate(
+            [obs[k].reshape(obs[k].shape[0], -1) for k in sorted(obs)], axis=-1
+        )
+    return obs
+
+
+class PPO:
+    """Functional PPO trainer bound to one env + config."""
+
+    def __init__(
+        self,
+        env: FunctionalEnv,
+        config: PPOConfig = PPOConfig(),
+        action_low: Array | None = None,
+        action_high: Array | None = None,
+    ):
+        self.env = env
+        self.config = config
+        low, high = env.action_bounds()
+        self.action_low = jnp.asarray(low if action_low is None else action_low)
+        self.action_high = jnp.asarray(high if action_high is None else action_high)
+        self.action_dim = int(self.action_low.shape[-1])
+        self.network = ActorCritic(
+            action_dim=self.action_dim,
+            feature_sizes=config.feature_sizes,
+            pi_sizes=config.pi_sizes,
+            vf_sizes=config.vf_sizes,
+        )
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.learning_rate, eps=1e-5),
+        )
+
+    # ------------------------------------------------------------------ init
+    def init(self, key: Array) -> RunnerState:
+        key, net_key, env_key = jax.random.split(key, 3)
+        env_keys = jax.random.split(env_key, self.config.num_envs)
+        env_state, obs = jax.vmap(self.env.reset)(env_keys)
+        obs = _flat_obs(obs)
+        params = self.network.init(net_key, obs[:1])
+        opt_state = self.optimizer.init(params)
+        return RunnerState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            obs=obs,
+            key=key,
+            update_idx=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------- policies
+    def act(self, params: Any, obs: Array, key: Array) -> tuple[Array, Array, Array]:
+        """Sample (action, log_prob, value); actions clipped to bounds at the
+        env boundary (SB3 semantics: log-prob of the unclipped sample)."""
+        mean, log_std, value = self.network.apply(params, obs)
+        noise = jax.random.normal(key, mean.shape, mean.dtype)
+        action = mean + jnp.exp(log_std) * noise
+        log_prob = gaussian_log_prob(mean, log_std, action)
+        return action, log_prob, value
+
+    def act_deterministic(self, params: Any, obs: Array) -> Array:
+        mean, _, _ = self.network.apply(params, obs)
+        return jnp.clip(mean, self.action_low, self.action_high)
+
+    # ------------------------------------------------------------- rollout
+    def _rollout(self, runner: RunnerState):
+        def body(carry, _):
+            env_state, obs, key = carry
+            key, act_key = jax.random.split(key)
+            action, log_prob, value = self.act(runner.params, obs, act_key)
+            clipped = jnp.clip(action, self.action_low, self.action_high)
+            env_state, out = autoreset_step(self.env, env_state, clipped)
+            done = out.termination | out.truncation
+            t = Transition(
+                obs=obs,
+                action=action,
+                log_prob=log_prob,
+                value=value,
+                reward=out.reward,
+                done=done,
+            )
+            return (env_state, _flat_obs(out.obs), key), t
+
+        (env_state, obs, key), traj = jax.lax.scan(
+            body,
+            (runner.env_state, runner.obs, runner.key),
+            None,
+            length=self.config.rollout_steps,
+        )
+        return runner.replace(env_state=env_state, obs=obs, key=key), traj
+
+    # ----------------------------------------------------------------- GAE
+    def _gae(self, params: Any, traj: Transition, last_obs: Array):
+        _, _, last_value = self.network.apply(params, last_obs)
+
+        def body(carry, t):
+            gae, next_value = carry
+            delta = (
+                t.reward
+                + self.config.gamma * next_value * (1.0 - t.done)
+                - t.value
+            )
+            gae = (
+                delta
+                + self.config.gamma
+                * self.config.gae_lambda
+                * (1.0 - t.done)
+                * gae
+            )
+            return (gae, t.value), gae
+
+        _, advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            traj,
+            reverse=True,
+        )
+        returns = advantages + traj.value
+        return advantages, returns
+
+    # ---------------------------------------------------------------- loss
+    def _loss(self, params, batch, advantages, returns):
+        mean, log_std, value = self.network.apply(params, batch.obs)
+        log_prob = gaussian_log_prob(mean, log_std, batch.action)
+        ratio = jnp.exp(log_prob - batch.log_prob)
+
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = ratio * adv
+        pg2 = jnp.clip(ratio, 1.0 - self.config.clip_eps, 1.0 + self.config.clip_eps) * adv
+        pg_loss = -jnp.mean(jnp.minimum(pg1, pg2))
+
+        v_loss = 0.5 * jnp.mean((value - returns) ** 2)
+        ent = jnp.mean(gaussian_entropy(log_std))
+
+        total = (
+            pg_loss
+            + self.config.value_coef * v_loss
+            - self.config.entropy_coef * ent
+        )
+        metrics = {
+            "loss": total,
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": ent,
+            "approx_kl": jnp.mean(batch.log_prob - log_prob),
+        }
+        return total, metrics
+
+    # ------------------------------------------------------- train iteration
+    def train_iteration(self, runner: RunnerState) -> tuple[RunnerState, dict]:
+        """One fused PPO update: rollout → GAE → epochs × minibatch SGD.
+
+        Pure and jittable; shard ``runner.env_state``/``runner.obs`` over an
+        ``('env',)`` mesh axis for multi-chip training.
+        """
+        cfg = self.config
+        runner, traj = self._rollout(runner)
+        advantages, returns = self._gae(runner.params, traj, runner.obs)
+
+        # flatten (T, B, ...) -> (T*B, ...)
+        flat = jax.tree.map(
+            lambda x: x.reshape((cfg.batch_size,) + x.shape[2:]), traj
+        )
+        flat_adv = advantages.reshape(-1)
+        flat_ret = returns.reshape(-1)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, perm_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, cfg.batch_size)
+
+            def minibatch(carry, idx):
+                params, opt_state = carry
+                mb = jax.tree.map(lambda x: x[idx], flat)
+                mb_adv = flat_adv[idx]
+                mb_ret = flat_ret[idx]
+                (loss, metrics), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, mb, mb_adv, mb_ret)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), metrics
+
+            idxs = perm.reshape(cfg.num_minibatches, cfg.minibatch_size)
+            (params, opt_state), metrics = jax.lax.scan(
+                minibatch, (params, opt_state), idxs
+            )
+            return (params, opt_state, key), metrics
+
+        (params, opt_state, key), metrics = jax.lax.scan(
+            epoch,
+            (runner.params, runner.opt_state, runner.key),
+            None,
+            length=cfg.num_epochs,
+        )
+        runner = runner.replace(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            update_idx=runner.update_idx + 1,
+        )
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics["mean_reward"] = jnp.mean(traj.reward)
+        metrics["mean_episode_done"] = jnp.mean(traj.done.astype(jnp.float32))
+        return runner, metrics
+
+    # ------------------------------------------------------------- sharding
+    def shard_runner(self, runner: RunnerState, mesh) -> RunnerState:
+        """Places env state/obs on P('env'), everything else replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        env_sharding = NamedSharding(mesh, P("env"))
+        replicated = NamedSharding(mesh, P())
+        return RunnerState(
+            params=jax.device_put(runner.params, replicated),
+            opt_state=jax.device_put(runner.opt_state, replicated),
+            env_state=jax.device_put(runner.env_state, env_sharding),
+            obs=jax.device_put(runner.obs, env_sharding),
+            key=jax.device_put(runner.key, replicated),
+            update_idx=jax.device_put(runner.update_idx, replicated),
+        )
+
+    # ----------------------------------------------------------------- eval
+    def evaluate(
+        self, params: Any, key: Array, num_episodes: int = 8
+    ) -> dict[str, Array]:
+        """Deterministic-policy evaluation (CustomEvalCallback equivalent,
+        rl_training/custom_eval_callback.py:46-108): mean/std episode reward
+        and length over ``num_episodes`` fresh episodes."""
+        keys = jax.random.split(key, num_episodes)
+        env_state, obs = jax.vmap(self.env.reset)(keys)
+        obs = _flat_obs(obs)
+
+        def body(carry, _):
+            env_state, obs, done, ep_rew, ep_len = carry
+            action = self.act_deterministic(params, obs)
+            env_state, out = jax.vmap(self.env.step)(env_state, action)
+            step_done = out.termination | out.truncation
+            ep_rew = ep_rew + out.reward * (1.0 - done)
+            ep_len = ep_len + (1.0 - done)
+            done = jnp.maximum(done, step_done.astype(jnp.float32))
+            return (env_state, _flat_obs(out.obs), done, ep_rew, ep_len), None
+
+        init = (
+            env_state,
+            obs,
+            jnp.zeros(num_episodes),
+            jnp.zeros(num_episodes),
+            jnp.zeros(num_episodes),
+        )
+        max_len = getattr(self.env, "max_steps", 400) + 1
+        (_, _, done, ep_rew, ep_len), _ = jax.lax.scan(
+            body, init, None, length=max_len
+        )
+        return {
+            "mean_reward": jnp.mean(ep_rew),
+            "std_reward": jnp.std(ep_rew),
+            "mean_length": jnp.mean(ep_len),
+            "std_length": jnp.std(ep_len),
+        }

@@ -1,0 +1,123 @@
+"""High-level training loop: PPO over sharded on-device envs.
+
+The reference's training entry point (rl_training/hovering/training.py) wires
+SubprocVecEnv + SB3 PPO + eval callback + CSV/tensorboard logging. This is
+its TPU-native equivalent: one jitted train iteration per loop tick, metrics
+to JSONL/CSV, periodic deterministic eval, best-model + periodic orbax
+checkpoints, multi-chip via a ('env',) mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from pyflyt_tpu.rl import checkpoint
+from pyflyt_tpu.rl.ppo import PPO, PPOConfig, RunnerState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    total_timesteps: int = 100_000_000  # training.py:86-101 budget
+    eval_every_updates: int = 20
+    eval_episodes: int = 16
+    log_dir: str | None = None
+    checkpoint_every_updates: int = 0  # 0 = only best-model checkpoints
+    use_mesh: bool = False  # shard env axis over all local devices
+    seed: int = 0
+
+
+def train(
+    ppo: PPO,
+    tcfg: TrainConfig = TrainConfig(),
+    on_metrics: Callable[[int, dict], None] | None = None,
+) -> RunnerState:
+    """Runs PPO until ``total_timesteps`` env steps are consumed."""
+    key = jax.random.PRNGKey(tcfg.seed)
+    runner = ppo.init(key)
+
+    mesh = None
+    if tcfg.use_mesh:
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices())
+        mesh = Mesh(devices, ("env",))
+        assert ppo.config.num_envs % len(devices) == 0
+        runner = ppo.shard_runner(runner, mesh)
+
+    train_it = jax.jit(ppo.train_iteration, donate_argnums=(0,))
+
+    steps_per_update = ppo.config.batch_size
+    num_updates = max(1, tcfg.total_timesteps // steps_per_update)
+
+    log_f = None
+    if tcfg.log_dir:
+        os.makedirs(tcfg.log_dir, exist_ok=True)
+        log_f = open(os.path.join(tcfg.log_dir, "metrics.jsonl"), "a")
+
+    best_reward = -np.inf
+    eval_history: list[dict] = []
+    t_start = time.perf_counter()
+    try:
+        for update in range(num_updates):
+            runner, metrics = train_it(runner)
+
+            if (update + 1) % tcfg.eval_every_updates == 0 or update == num_updates - 1:
+                jax.block_until_ready(runner.params)
+                eval_key = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), update)
+                stats = jax.jit(ppo.evaluate, static_argnums=2)(
+                    runner.params, eval_key, tcfg.eval_episodes
+                )
+                stats = {k: float(v) for k, v in stats.items()}
+                elapsed = time.perf_counter() - t_start
+                row = {
+                    "update": update + 1,
+                    "env_steps": (update + 1) * steps_per_update,
+                    "steps_per_s": (update + 1) * steps_per_update / elapsed,
+                    **{k: float(v) for k, v in metrics.items()},
+                    **{f"eval_{k}": v for k, v in stats.items()},
+                }
+                eval_history.append(row)
+                if on_metrics is not None:
+                    on_metrics(update + 1, row)
+                if log_f:
+                    log_f.write(json.dumps(row) + "\n")
+                    log_f.flush()
+
+                # best-model checkpoint (custom_eval_callback.py:88-105)
+                if tcfg.log_dir and stats["mean_reward"] > best_reward:
+                    best_reward = stats["mean_reward"]
+                    name = checkpoint.best_model_name(
+                        update + 1,
+                        stats["mean_length"],
+                        stats["std_length"],
+                        stats["mean_reward"],
+                        stats["std_reward"],
+                    )
+                    checkpoint.save(os.path.join(tcfg.log_dir, name), runner)
+
+            if (
+                tcfg.checkpoint_every_updates
+                and tcfg.log_dir
+                and (update + 1) % tcfg.checkpoint_every_updates == 0
+            ):
+                checkpoint.save(
+                    os.path.join(tcfg.log_dir, f"ckpt_{update + 1}"), runner
+                )
+    finally:
+        if log_f:
+            log_f.close()
+        if tcfg.log_dir:
+            np.savez(
+                os.path.join(tcfg.log_dir, "evaluations.npz"),
+                history=np.asarray(
+                    [json.dumps(r) for r in eval_history], dtype=object
+                ),
+            )
+    return runner

@@ -1,0 +1,109 @@
+"""PPO trainer tests: machinery, sharding, and a small learning check
+(reference pipeline: PyFlyt/rl_training/hovering/training.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv
+from pyflyt_tpu.rl.ppo import PPO, PPOConfig
+
+SMALL = PPOConfig(
+    num_envs=16,
+    rollout_steps=8,
+    num_epochs=2,
+    num_minibatches=4,
+    feature_sizes=(32, 32),
+)
+
+
+def _make():
+    return PPO(QuadXHoverEnv(max_duration_seconds=2.0), SMALL)
+
+
+def test_init_shapes():
+    ppo = _make()
+    runner = ppo.init(jax.random.PRNGKey(0))
+    assert runner.obs.shape == (16, 21)
+    flat = jax.tree.leaves(runner.params)
+    assert all(jnp.all(jnp.isfinite(p)) for p in flat)
+
+
+def test_train_iteration_runs_and_updates():
+    ppo = _make()
+    runner = ppo.init(jax.random.PRNGKey(0))
+    before = jax.tree.leaves(runner.params)[0].copy()
+    runner2, metrics = jax.jit(ppo.train_iteration)(runner)
+    assert int(runner2.update_idx) == 1
+    after = jax.tree.leaves(runner2.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+    for k in ("loss", "pg_loss", "v_loss", "entropy", "mean_reward"):
+        assert np.isfinite(float(metrics[k])), k
+
+
+def test_evaluate():
+    ppo = _make()
+    runner = ppo.init(jax.random.PRNGKey(0))
+    stats = jax.jit(ppo.evaluate, static_argnums=2)(
+        runner.params, jax.random.PRNGKey(1), 4
+    )
+    assert np.isfinite(float(stats["mean_reward"]))
+    assert 1.0 <= float(stats["mean_length"]) <= ppo.env.max_steps + 1
+
+
+def test_mesh_sharded_train_iteration():
+    """The full train step compiles and runs with env state sharded over the
+    8-device CPU mesh (the driver's dryrun contract)."""
+    from jax.sharding import Mesh
+
+    ppo = _make()
+    runner = ppo.init(jax.random.PRNGKey(0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    runner = ppo.shard_runner(runner, mesh)
+    runner, metrics = jax.jit(ppo.train_iteration)(runner)
+    jax.block_until_ready(runner.params)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pyflyt_tpu.rl import checkpoint
+
+    ppo = _make()
+    runner = ppo.init(jax.random.PRNGKey(0))
+    runner, _ = jax.jit(ppo.train_iteration)(runner)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, runner)
+    template = ppo.init(jax.random.PRNGKey(9))
+    restored = checkpoint.restore(path, template)
+    a = jax.tree.leaves(runner.params)[0]
+    b = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.update_idx) == 1
+
+
+def test_learning_improves_hover():
+    """A short PPO run on QuadX-Hover must improve the evaluation return —
+    the end-to-end learning sanity check."""
+    cfg = PPOConfig(
+        num_envs=64,
+        rollout_steps=64,
+        num_epochs=4,
+        num_minibatches=8,
+        learning_rate=1e-3,
+        entropy_coef=0.0,
+        feature_sizes=(64, 64),
+    )
+    env = QuadXHoverEnv(max_duration_seconds=3.0, noisy_motors=False)
+    ppo = PPO(env, cfg)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    it = jax.jit(ppo.train_iteration)
+    rewards = []
+    for _ in range(30):
+        runner, metrics = it(runner)
+        rewards.append(float(metrics["mean_reward"]))
+    # skip the first iterations: fresh envs start near the hover point, so the
+    # reward first *drops* as episodes churn, then recovers with learning
+    # (observed ≈ −1.7 → −0.8 over 40 iterations at this config)
+    early = np.mean(rewards[4:9])
+    late = np.mean(rewards[-6:])
+    assert late > early + 0.1, (early, late, rewards)
