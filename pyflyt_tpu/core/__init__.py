@@ -1,3 +1,4 @@
-"""Core simulation machinery: math, state pytrees, integrator, wind."""
+"""Core simulation machinery: math, state pytrees, integrator, wind, aviary."""
 
 from pyflyt_tpu.core import math  # noqa: F401
+from pyflyt_tpu.core.aviary import Aviary, AviaryState, DroneSpec, register_drone_type  # noqa: F401

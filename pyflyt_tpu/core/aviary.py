@@ -1,0 +1,428 @@
+"""Functional Aviary: the multi-drone simulation orchestrator.
+
+Re-implements /root/reference/PyFlyt/core/aviary.py as a static config +
+pure state transitions. The reference's Aviary owns a PyBullet client and a
+list of mutable drone objects; here the Aviary is a frozen dataclass of
+per-drone specs and ``AviaryState`` is a pytree of per-drone model states, so
+``step`` is one jitted program (vmap/scan composable).
+
+Preserved semantics:
+- ``updates_per_step = physics_hz / min(control_hz)`` with per-drone control
+  gating ``step % (physics_hz / control_hz_i) == 0`` (aviary.py:291-301,
+  478-484; base_drone.py:95-102)
+- per-iteration order: control → physics (forces from the lagged read state)
+  → state read → integrate (aviary.py:478-500)
+- boolean contact bookkeeping reset per aviary step (aviary.py:475, 493-496);
+  drone-drone contact via sphere proximity at each vehicle's bounding radius
+  (the reference uses PyBullet's convex collision)
+- ``set_armed``: disarmed drones get no control/physics updates but keep
+  integrating ballistically under gravity (aviary.py:422-436, 487-488)
+- custom controllers (quadx): pure ``(view, setpoint) -> setpoint`` functions
+  with a base mode (base_drone.py:265-285)
+- wind-field hook shared by all drones (aviary.py:269-288)
+
+Functional deviations (documented, same capability): flight modes and custom
+controllers are trace-time static, so they are part of the Aviary config —
+``set_mode`` returns a *new* (Aviary, state) pair instead of mutating.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from pyflyt_tpu.core import integrator
+from pyflyt_tpu.core.state import Body6DoF
+from pyflyt_tpu.envs.base import tree_select
+from pyflyt_tpu.models import fixedwing, quadx, rocket
+
+
+@struct.dataclass
+class AviaryState:
+    drones: tuple  # per-drone model state pytrees (heterogeneous)
+    armed: Array  # (n,) bool
+    contact: Array  # (n,) bool — any contact during the last aviary step
+    contact_matrix: Array  # (n, n) bool — drone-drone proximity contacts
+    key: Array
+    aviary_steps: Array  # int32
+    physics_steps: Array  # int32
+
+
+# ---------------------------------------------------------------------------
+# per-type adapters
+# ---------------------------------------------------------------------------
+
+
+class _QuadXHandle:
+    collision_radius = 0.065
+
+    def __init__(self, spec: "DroneSpec", physics_hz: int):
+        opts = spec.options
+        self.mode = spec.mode
+        self.custom_controller = spec.custom_controller
+        self.cfg = quadx.QuadXConfig(
+            drone_model=opts.get("drone_model", "cf2x"),
+            control_hz=spec.control_hz,
+            physics_hz=physics_hz,
+            orn_conv=opts.get("orn_conv", "ENU_FLU"),
+            noisy_motors=opts.get("noisy_motors", True),
+            min_pwm=opts.get("min_pwm", 0.05),
+            max_pwm=opts.get("max_pwm", 1.0),
+        )
+        self.params = quadx.build_params(self.cfg)
+
+    def init(self, start_pos, start_orn):
+        st = quadx.init_state(self.params, self.cfg, start_pos, start_orn)
+        return quadx.set_mode(st, self.mode, self.cfg)
+
+    def control(self, st):
+        return quadx.update_control(
+            st, self.params, self.cfg, self.mode, self.custom_controller
+        )
+
+    def physics(self, st, key, wind_fn):
+        return quadx.physics_iter(
+            st, self.params, self.cfg, key if self.cfg.noisy_motors else None,
+            None if wind_fn is None else wind_fn(st.physics_steps, st.body.pos),
+        )
+
+    def ballistic(self, st):
+        rb = integrator.RigidBodyParams(
+            mass=self.params.mass, inertia=self.params.inertia
+        )
+        body = integrator.step(
+            st.body, rb, jnp.zeros(3), jnp.zeros(3), self.cfg.physics_period
+        )
+        body, contact = integrator.ground_contact(
+            body, rb, quadx._contact_geom(self.params)
+        )
+        return st.replace(
+            body=body,
+            read=quadx.update_state(body, self.cfg),
+            contact=contact,
+            physics_steps=st.physics_steps + 1,
+        )
+
+    def set_setpoint(self, st, sp):
+        return st.replace(setpoint=jnp.asarray(sp, self.cfg.dtype))
+
+    def view(self, st):
+        return st.read.view
+
+    def aux(self, st):
+        return st.throttle
+
+    def pos(self, st):
+        return st.body.pos
+
+
+class _FixedwingHandle:
+    collision_radius = 0.5
+
+    def __init__(self, spec: "DroneSpec", physics_hz: int):
+        opts = spec.options
+        self.mode = spec.mode
+        self.cfg = fixedwing.FixedwingConfig(
+            drone_model=opts.get("drone_model", "fixedwing"),
+            control_hz=spec.control_hz,
+            physics_hz=physics_hz,
+            starting_velocity=tuple(opts.get("starting_velocity", (20.0, 0.0, 0.0))),
+        )
+        self.params = fixedwing.build_params(self.cfg)
+
+    def init(self, start_pos, start_orn):
+        return fixedwing.init_state(
+            self.params, self.cfg, start_pos, start_orn, self.mode
+        )
+
+    def control(self, st):
+        return fixedwing.update_control(st, self.params, self.cfg, self.mode)
+
+    def physics(self, st, key, wind_fn):
+        return fixedwing.physics_iter(st, self.params, self.cfg, key, wind_fn)
+
+    def ballistic(self, st):
+        rb = integrator.RigidBodyParams(
+            mass=self.params.mass, inertia=self.params.inertia, full_inertia=True
+        )
+        body = integrator.step(
+            st.body, rb, jnp.zeros(3), jnp.zeros(3), self.cfg.physics_period
+        )
+        body, contact = integrator.ground_contact(
+            body,
+            rb,
+            integrator.ContactGeom(
+                points=self.params.contact_points - self.params.com_offset
+            ),
+        )
+        return st.replace(
+            body=body,
+            read=fixedwing.update_state(body, self.params, self.cfg, st.physics_steps),
+            contact=contact,
+            physics_steps=st.physics_steps + 1,
+        )
+
+    def set_setpoint(self, st, sp):
+        return st.replace(setpoint=jnp.asarray(sp, self.cfg.dtype))
+
+    def view(self, st):
+        return st.read.view
+
+    def aux(self, st):
+        return fixedwing.aux_state(st)
+
+    def pos(self, st):
+        return st.body.pos
+
+
+class _RocketHandle:
+    collision_radius = 0.6
+
+    def __init__(self, spec: "DroneSpec", physics_hz: int):
+        opts = spec.options
+        self.cfg = rocket.RocketConfig(
+            drone_model=opts.get("drone_model", "rocket"),
+            control_hz=spec.control_hz,
+            physics_hz=physics_hz,
+            starting_fuel_ratio=opts.get("starting_fuel_ratio", 0.05),
+        )
+        self.params = rocket.build_params(self.cfg)
+
+    def init(self, start_pos, start_orn):
+        return rocket.init_state(self.params, self.cfg, start_pos, start_orn)
+
+    def control(self, st):
+        return rocket.update_control(st, self.params, self.cfg)
+
+    def physics(self, st, key, wind_fn):
+        return rocket.physics_iter(st, self.params, self.cfg, key, wind_fn)
+
+    def ballistic(self, st):
+        com = rocket._current_com(st, self.params)
+        fuel_mass = (
+            st.booster.ratio_fuel_remaining * self.params.booster.total_fuel_mass
+        )
+        fuel_inertia = (
+            st.booster.ratio_fuel_remaining[..., None]
+            * self.params.booster.max_inertia
+        )
+        mass, com, inertia = rocket.mass_properties(
+            self.params, fuel_mass, fuel_inertia
+        )
+        rb = integrator.RigidBodyParams(mass=mass, inertia=inertia, full_inertia=True)
+        body = integrator.step(
+            st.body, rb, jnp.zeros(3), jnp.zeros(3), self.cfg.physics_period
+        )
+        body, contact = integrator.ground_contact(
+            body,
+            rb,
+            integrator.ContactGeom(points=self.params.contact_points - com),
+        )
+        return st.replace(
+            body=body,
+            read=rocket.update_state(body, self.params, self.cfg, com, st.physics_steps),
+            contact=contact,
+            physics_steps=st.physics_steps + 1,
+        )
+
+    def set_setpoint(self, st, sp):
+        return st.replace(setpoint=jnp.asarray(sp, self.cfg.dtype))
+
+    def view(self, st):
+        return st.read.view
+
+    def aux(self, st):
+        return rocket.aux_state(st)
+
+    def pos(self, st):
+        return st.body.pos
+
+
+_HANDLE_TYPES: dict[str, type] = {
+    "quadx": _QuadXHandle,
+    "fixedwing": _FixedwingHandle,
+    "rocket": _RocketHandle,
+}
+
+
+def register_drone_type(name: str, handle_cls: type) -> None:
+    """The functional ``drone_type_mappings`` (aviary.py:122-130): register a
+    custom vehicle handle class (same duck-typed interface as the built-ins).
+    """
+    _HANDLE_TYPES[name] = handle_cls
+
+
+@dataclasses.dataclass(frozen=True)
+class DroneSpec:
+    """Static per-drone configuration."""
+
+    drone_type: str = "quadx"
+    control_hz: int = 120
+    mode: int = 0
+    options: Any = dataclasses.field(default_factory=dict)
+    custom_controller: Callable | None = None  # quadx only
+
+
+class Aviary:
+    """Static simulation configuration + pure transition methods.
+
+    Construction mirrors Aviary(start_pos, start_orn, drone_type,
+    drone_options, ...) (aviary.py:42-167); ``specs`` gives full per-drone
+    control (mixed fleets, modes, rates — aviary.py:247-266).
+    """
+
+    def __init__(
+        self,
+        start_pos,
+        start_orn,
+        drone_type: str | None = "quadx",
+        drone_options: dict | None = None,
+        specs: tuple[DroneSpec, ...] | None = None,
+        physics_hz: int = 240,
+        wind_fn=None,
+    ):
+        import numpy as np
+
+        self.start_pos = np.asarray(start_pos, dtype=np.float32)
+        self.start_orn = np.asarray(start_orn, dtype=np.float32)
+        assert self.start_pos.ndim == 2 and self.start_pos.shape[-1] == 3
+        n = self.start_pos.shape[0]
+        if specs is None:
+            specs = tuple(
+                DroneSpec(drone_type=drone_type, options=dict(drone_options or {}))
+                for _ in range(n)
+            )
+        assert len(specs) == n
+        self.specs = specs
+        self.physics_hz = physics_hz
+        self.wind_fn = wind_fn
+        self.handles = [
+            _HANDLE_TYPES[s.drone_type](s, physics_hz) for s in specs
+        ]
+        control_rates = [s.control_hz for s in specs]
+        for hz in control_rates:
+            assert physics_hz % hz == 0, (
+                "`physics_hz` must be integer multiple of every `control_hz`"
+            )
+        self.updates_per_step = physics_hz // min(control_rates)
+        self.control_ratios = [physics_hz // hz for hz in control_rates]
+
+    @property
+    def num_drones(self) -> int:
+        return len(self.specs)
+
+    # ----- construction / reset -------------------------------------------
+    def reset(self, key: Array) -> AviaryState:
+        drones = tuple(
+            h.init(jnp.asarray(p), jnp.asarray(o))
+            for h, p, o in zip(self.handles, self.start_pos, self.start_orn)
+        )
+        n = self.num_drones
+        return AviaryState(
+            drones=drones,
+            armed=jnp.ones((n,), bool),
+            contact=jnp.zeros((n,), bool),
+            contact_matrix=jnp.zeros((n, n), bool),
+            key=key,
+            aviary_steps=jnp.zeros((), jnp.int32),
+            physics_steps=jnp.zeros((), jnp.int32),
+        )
+
+    # ----- setters ----------------------------------------------------------
+    def set_setpoint(self, state: AviaryState, index: int, setpoint) -> AviaryState:
+        drones = list(state.drones)
+        drones[index] = self.handles[index].set_setpoint(drones[index], setpoint)
+        return state.replace(drones=tuple(drones))
+
+    def set_all_setpoints(self, state: AviaryState, setpoints) -> AviaryState:
+        for i, sp in enumerate(setpoints):
+            state = self.set_setpoint(state, i, sp)
+        return state
+
+    def set_armed(self, state: AviaryState, armed) -> AviaryState:
+        armed = jnp.asarray(armed, bool).reshape(self.num_drones)
+        return state.replace(armed=armed)
+
+    def set_mode(self, state: AviaryState, modes) -> tuple["Aviary", AviaryState]:
+        """Returns a NEW (Aviary, state) with the given flight modes (modes
+        are trace-time static — functional analogue of aviary.py:438-452)."""
+        if isinstance(modes, int):
+            modes = [modes] * self.num_drones
+        new_specs = tuple(
+            dataclasses.replace(s, mode=m) for s, m in zip(self.specs, modes)
+        )
+        new_av = Aviary(
+            self.start_pos,
+            self.start_orn,
+            specs=new_specs,
+            physics_hz=self.physics_hz,
+            wind_fn=self.wind_fn,
+        )
+        drones = list(state.drones)
+        for i, (h, m) in enumerate(zip(new_av.handles, modes)):
+            if new_av.specs[i].drone_type == "quadx":
+                drones[i] = quadx.set_mode(drones[i], m, h.cfg)
+        return new_av, state.replace(drones=tuple(drones))
+
+    # ----- readouts ---------------------------------------------------------
+    def state(self, state: AviaryState, index: int) -> Array:
+        """The (4, 3) drone state view (aviary.py:338-353)."""
+        return self.handles[index].view(state.drones[index])
+
+    def aux_state(self, state: AviaryState, index: int) -> Array:
+        return self.handles[index].aux(state.drones[index])
+
+    def all_states(self, state: AviaryState) -> list[Array]:
+        return [self.state(state, i) for i in range(self.num_drones)]
+
+    # ----- stepping ---------------------------------------------------------
+    def _pairwise_contacts(self, drones: tuple) -> Array:
+        n = self.num_drones
+        if n == 1:
+            return jnp.zeros((1, 1), bool)
+        pos = jnp.stack([h.pos(d) for h, d in zip(self.handles, drones)])
+        radii = jnp.asarray([h.collision_radius for h in self.handles])
+        diff = pos[:, None, :] - pos[None, :, :]
+        dist = jnp.linalg.norm(diff, axis=-1)
+        thresh = radii[:, None] + radii[None, :]
+        mat = dist < thresh
+        return mat & ~jnp.eye(n, dtype=bool)
+
+    def step(self, state: AviaryState) -> AviaryState:
+        """One aviary step = ``updates_per_step`` physics iterations
+        (aviary.py:472-503)."""
+        n = self.num_drones
+        any_contact = jnp.zeros((n,), bool)
+        any_matrix = jnp.zeros((n, n), bool)
+        key = state.key
+        drones = list(state.drones)
+
+        for it in range(self.updates_per_step):
+            for i, (h, ratio) in enumerate(zip(self.handles, self.control_ratios)):
+                armed_i = state.armed[i]
+                if it % ratio == 0:
+                    controlled = h.control(drones[i])
+                    drones[i] = tree_select(armed_i, controlled, drones[i])
+                key, sub = jax.random.split(key)
+                stepped = h.physics(drones[i], sub, self.wind_fn)
+                ballistic = h.ballistic(drones[i])
+                drones[i] = tree_select(armed_i, stepped, ballistic)
+            contacts = jnp.stack([d.contact for d in drones])
+            matrix = self._pairwise_contacts(tuple(drones))
+            any_contact = any_contact | contacts | jnp.any(matrix, axis=-1)
+            any_matrix = any_matrix | matrix
+
+        return state.replace(
+            drones=tuple(drones),
+            armed=state.armed,
+            contact=any_contact,
+            contact_matrix=any_matrix,
+            key=key,
+            aviary_steps=state.aviary_steps + 1,
+            physics_steps=state.physics_steps + self.updates_per_step,
+        )

@@ -56,7 +56,10 @@ class QuadXConfig:
     dtype: Any = jnp.float32
 
     def __post_init__(self):
-        assert self.physics_hz % self.control_hz == 0
+        assert self.physics_hz % self.control_hz == 0, (
+            f"`control_hz` ({self.control_hz}) must be a round denominator of "
+            f"`physics_hz` ({self.physics_hz})."
+        )
         assert self.orn_conv in ("ENU_FLU", "NED_FRD")
 
     @property
@@ -335,7 +338,11 @@ def _yaw_frame(view: Array, xy: Array) -> Array:
 
 
 def update_control(
-    state: QuadXState, params: QuadXParams, cfg: QuadXConfig, mode: int
+    state: QuadXState,
+    params: QuadXParams,
+    cfg: QuadXConfig,
+    mode: int,
+    custom_controller=None,
 ) -> QuadXState:
     """Runs the mode's controller cascade; returns state with new pwm + PIDs.
 
@@ -344,9 +351,17 @@ def update_control(
     reference's NED_FRD modes 4/5/6: quadx.py:473/490 collapses ``a_output``
     to 2 elements, which crashes downstream; we implement the evident intent
     ([a1, -a0] on the xy lanes, yaw preserved).
+
+    ``custom_controller``: optional ``(..., 4, 3) view, setpoint -> setpoint``
+    pure function applied before the cascade — the functional form of the
+    reference's registered ``ControlClass`` controllers, whose output becomes
+    the setpoint for the registered base mode (quadx.py:433-444,
+    base_drone.py:265-285). Pass the base mode as ``mode``.
     """
     view = state.read.view
     sp = state.setpoint
+    if custom_controller is not None:
+        sp = custom_controller(view, sp)
     a = sp[..., :3]
     z = sp[..., 3]
     pids = state.pids
@@ -520,6 +535,7 @@ def step(
     mode: int,
     key: Array | None = None,
     wind_fn=None,
+    custom_controller=None,
 ) -> tuple[QuadXState, Array]:
     """One Aviary.step equivalent: ``physics_control_ratio`` physics iters with
     the controller gated at iteration 0 (aviary.py:478-500, single drone).
@@ -531,7 +547,7 @@ def step(
     any_contact = jnp.zeros_like(state.contact)
     for s in range(cfg.physics_control_ratio):
         if s % cfg.physics_control_ratio == 0:
-            state = update_control(state, params, cfg, mode)
+            state = update_control(state, params, cfg, mode, custom_controller)
         if key is not None:
             key, sub = jax.random.split(key)
         else:

@@ -1,0 +1,212 @@
+"""Functional Aviary tests — ports of the reference core API suite
+(/root/reference/tests/test_core.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyflyt_tpu.core.aviary import Aviary, DroneSpec
+
+
+def test_simple_spawn_and_steps():
+    """Single drone, position mode, many steps without crashing
+    (test_core.py:12-30)."""
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(DroneSpec(drone_type="quadx", mode=7),),
+    )
+    state = av.reset(jax.random.PRNGKey(0))
+    state = av.set_setpoint(state, 0, jnp.asarray([0.0, 0.0, 0.0, 1.0]))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=200)[0]
+
+    state = run(state)
+    view = np.asarray(av.state(state, 0))
+    assert np.isfinite(view).all()
+    # held position near the setpoint [0, 0, z=1]
+    assert abs(view[3, 2] - 1.0) < 0.5
+    assert int(state.aviary_steps) == 200
+
+
+def test_multi_drone_heterogeneous_rates():
+    """3 quadx at control 60/120/240 Hz in one sim (test_core.py:33-61)."""
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0], [2.0, 0.0, 1.0], [4.0, 0.0, 1.0]],
+        start_orn=[[0.0, 0.0, 0.0]] * 3,
+        specs=(
+            DroneSpec(drone_type="quadx", control_hz=60, mode=7),
+            DroneSpec(drone_type="quadx", control_hz=120, mode=7),
+            DroneSpec(drone_type="quadx", control_hz=240, mode=7),
+        ),
+    )
+    assert av.updates_per_step == 4  # 240 / min(60)
+    state = av.reset(jax.random.PRNGKey(0))
+    for i, x in enumerate((0.0, 2.0, 4.0)):
+        state = av.set_setpoint(state, i, jnp.asarray([x, 0.0, 0.0, 1.0]))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=120)[0]
+
+    state = run(state)
+    for i, x in enumerate((0.0, 2.0, 4.0)):
+        view = np.asarray(av.state(state, i))
+        assert np.isfinite(view).all()
+        assert abs(view[3, 0] - x) < 0.5
+        assert abs(view[3, 2] - 1.0) < 0.5
+
+
+def test_setpoint_sequence():
+    """Fly a sequence of position setpoints (test_core.py:64-92)."""
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(DroneSpec(drone_type="quadx", mode=7),),
+    )
+    state = av.reset(jax.random.PRNGKey(1))
+
+    @jax.jit
+    def fly(state, sp):
+        state = av.set_setpoint(state, 0, sp)
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=150)[0]
+
+    for target in ([1.0, 0.0, 0.0, 1.0], [1.0, 1.0, 0.0, 2.0], [0.0, 0.0, 0.0, 1.0]):
+        state = fly(state, jnp.asarray(target))
+        view = np.asarray(av.state(state, 0))
+        np.testing.assert_allclose(
+            view[3], [target[0], target[1], target[3]], atol=0.6
+        )
+
+
+def test_custom_controller():
+    """Custom ControlClass registered over a base mode (test_core.py:140-190):
+    a controller that offsets the position setpoint by +1 in x."""
+    def offset_controller(view, setpoint):
+        return setpoint + jnp.asarray([1.0, 0.0, 0.0, 0.0])
+
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(
+            DroneSpec(
+                drone_type="quadx", mode=7, custom_controller=offset_controller
+            ),
+        ),
+    )
+    state = av.reset(jax.random.PRNGKey(2))
+    state = av.set_setpoint(state, 0, jnp.asarray([0.0, 0.0, 0.0, 1.0]))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=200)[0]
+
+    state = run(state)
+    view = np.asarray(av.state(state, 0))
+    assert abs(view[3, 0] - 1.0) < 0.4  # flew to the offset target
+
+
+def test_mixed_fleet():
+    """rocket + quadx + fixedwing in one aviary (test_core.py:226-257)."""
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 100.0], [5.0, 0.0, 1.0], [10.0, 0.0, 50.0]],
+        start_orn=[[0.0, 0.0, 0.0]] * 3,
+        specs=(
+            DroneSpec(drone_type="rocket", mode=0),
+            DroneSpec(drone_type="quadx", mode=7),
+            DroneSpec(drone_type="fixedwing", mode=0),
+        ),
+    )
+    state = av.reset(jax.random.PRNGKey(3))
+    state = av.set_all_setpoints(
+        state,
+        [
+            jnp.zeros(7),
+            jnp.asarray([5.0, 0.0, 0.0, 1.0]),
+            jnp.asarray([0.0, 0.0, 0.0, 0.7]),
+        ],
+    )
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=60)[0]
+
+    state = run(state)
+    for i in range(3):
+        assert np.isfinite(np.asarray(av.state(state, i))).all()
+    # rocket free-falls, fixedwing cruises forward
+    assert float(av.state(state, 0)[3, 2]) < 100.0
+    assert float(av.state(state, 2)[3, 0]) > 11.0
+    # aux sizes per type (aviary API parity)
+    assert av.aux_state(state, 0).shape == (9,)
+    assert av.aux_state(state, 1).shape == (4,)
+    assert av.aux_state(state, 2).shape == (6,)
+
+
+def test_set_armed_ballistic():
+    """Disarmed drones get no forces and fall ballistically
+    (aviary.py:422-436)."""
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 10.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(DroneSpec(drone_type="quadx", mode=7),),
+    )
+    state = av.reset(jax.random.PRNGKey(4))
+    state = av.set_setpoint(state, 0, jnp.asarray([0.0, 0.0, 0.0, 10.0]))
+    state = av.set_armed(state, [False])
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=60)[0]
+
+    state = run(state)  # 0.5 s
+    view = np.asarray(av.state(state, 0))
+    # free fall: z ≈ 10 − ½·9.81·0.25 ≈ 8.77, no controller fighting it
+    np.testing.assert_allclose(view[3, 2], 10.0 - 0.5 * 9.81 * 0.25, atol=0.05)
+    np.testing.assert_allclose(view[2, 2], -9.81 * 0.5, atol=0.1)
+
+
+def test_wind_field_hook():
+    """Wind plugged at the aviary level affects all drones
+    (test_core.py:260-336)."""
+    from pyflyt_tpu.core.wind import ConstantWind
+
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 5.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(DroneSpec(drone_type="quadx", mode=0),),
+        wind_fn=ConstantWind(jnp.asarray([10.0, 0.0, 0.0])),
+    )
+    state = av.reset(jax.random.PRNGKey(5))
+    state = av.set_setpoint(state, 0, jnp.asarray([0.0, 0.0, 0.0, 0.37]))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            return av.step(s), None
+        return jax.lax.scan(body, state, None, length=120)[0]
+
+    state = run(state)
+    assert float(av.state(state, 0)[3, 0]) > 0.01  # blown downwind
+
+
+def test_drone_drone_collision_matrix():
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0], [0.05, 0.0, 1.0]],
+        start_orn=[[0.0, 0.0, 0.0]] * 2,
+        specs=(DroneSpec(drone_type="quadx"), DroneSpec(drone_type="quadx")),
+    )
+    state = av.reset(jax.random.PRNGKey(6))
+    state = jax.jit(av.step)(state)
+    m = np.asarray(state.contact_matrix)
+    assert m[0, 1] and m[1, 0]
+    assert np.asarray(state.contact).all()

@@ -165,3 +165,19 @@ def test_env_vmap():
     actions = jnp.zeros((8, 4))
     state, out = jax.jit(jax.vmap(ENV.step))(state, actions)
     assert out.reward.shape == (8,)
+
+
+def test_flatten_waypoint_env():
+    """Flatten wrapper: attitude + context_length zero-padded deltas
+    (reference: gym_envs/utils/flatten_waypoint_env.py, context 2 and 8
+    tested at tests/test_gym_envs.py:156-171)."""
+    from pyflyt_tpu.envs.utils.flatten_waypoints import FlattenWaypointEnv
+
+    for ctx in (2, 8):
+        env = FlattenWaypointEnv(QuadXWaypointsEnv(num_targets=4), context_length=ctx)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (21 + ctx * 3,)
+        if ctx > 4:  # rows beyond num_targets are zero padding
+            np.testing.assert_array_equal(np.asarray(obs[21 + 4 * 3:]), 0.0)
+        state, out = jax.jit(env.step)(state, jnp.zeros(4))
+        assert out.obs.shape == obs.shape
