@@ -6,3 +6,9 @@ training environments the fork's PPO pipelines consume (rl_training/).
 
 from pyflyt_tpu.envs.quadx_mod.hovering import QuadXModHoveringEnv  # noqa: F401
 from pyflyt_tpu.envs.quadx_mod.pid_expert import hovering_pid_expert  # noqa: F401
+from pyflyt_tpu.envs.quadx_mod.trajectory_following_fast import (  # noqa: F401
+    QuadXTrajectoryFollowingFastEnv,
+)
+from pyflyt_tpu.envs.quadx_mod.trajectory_following_slow import (  # noqa: F401
+    QuadXTrajectoryFollowingSlowEnv,
+)

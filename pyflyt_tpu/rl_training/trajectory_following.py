@@ -1,0 +1,134 @@
+"""Trajectory-following PPO training / evaluation pipeline (CLI).
+
+TPU-native equivalent of /root/reference/PyFlyt/rl_training/
+trajectory_following_{fast,slow}/{training.py,evaluation.py}: same env
+defaults and the reference's ``net_arch pi/vf=[64, 64, 32, 32]`` policy heads
+(trajectory_following_fast/training.py:112-122).
+
+Usage::
+
+    python -m pyflyt_tpu.rl_training.trajectory_following train --variant fast \
+        --num_envs 2048 --log_dir runs/traj_fast
+    python -m pyflyt_tpu.rl_training.trajectory_following eval \
+        --variant slow --checkpoint runs/traj_slow/best_model_*
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_env(args):
+    from pyflyt_tpu.envs.quadx_mod import (
+        QuadXTrajectoryFollowingFastEnv,
+        QuadXTrajectoryFollowingSlowEnv,
+    )
+
+    cls = (
+        QuadXTrajectoryFollowingFastEnv
+        if args.variant == "fast"
+        else QuadXTrajectoryFollowingSlowEnv
+    )
+    return cls(
+        control_hz=args.control_hz,
+        flight_mode=args.flight_mode,
+        noisy_motors=args.noisy_motors,
+        simulate_wind=args.simulate_wind,
+        flight_dome_size=args.flight_dome_size,
+        max_duration_seconds=args.max_duration_seconds,
+    )
+
+
+def _make_ppo(args, env):
+    from pyflyt_tpu.rl import PPO, PPOConfig
+
+    return PPO(
+        env,
+        PPOConfig(
+            num_envs=args.num_envs,
+            rollout_steps=args.rollout_steps,
+            num_epochs=args.n_epochs,
+            num_minibatches=args.num_minibatches,
+            learning_rate=args.learning_rate,
+            feature_sizes=(256, 256),
+            # SB3 net_arch pi/vf=[64,64,32,32] heads
+            pi_sizes=(64, 64, 32, 32),
+            vf_sizes=(64, 64, 32, 32),
+        ),
+    )
+
+
+def cmd_train(args):
+    from pyflyt_tpu.rl import TrainConfig, train
+
+    env = build_env(args)
+    ppo = _make_ppo(args, env)
+    return train(
+        ppo,
+        TrainConfig(
+            total_timesteps=args.total_timesteps,
+            eval_every_updates=args.eval_every_updates,
+            log_dir=args.log_dir,
+            use_mesh=args.use_mesh,
+            seed=args.seed,
+        ),
+        on_metrics=lambda u, row: print(json.dumps(row)),
+    )
+
+
+def cmd_eval(args):
+    import jax
+    import numpy as np
+
+    from pyflyt_tpu.rl import checkpoint
+
+    env = build_env(args)
+    ppo = _make_ppo(args, env)
+    template = ppo.init(jax.random.PRNGKey(0))
+    runner = checkpoint.restore(args.checkpoint, template)
+    stats = jax.jit(ppo.evaluate, static_argnums=2)(
+        runner.params, jax.random.PRNGKey(args.seed), args.episodes
+    )
+    print(json.dumps({k: float(v) for k, v in stats.items()}))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    def add_common(p):
+        p.add_argument("--variant", choices=("fast", "slow"), default="fast")
+        p.add_argument("--control_hz", type=int, default=80)
+        p.add_argument("--flight_mode", type=int, default=9)
+        p.add_argument("--noisy_motors", type=lambda v: v != "False", default=False)
+        p.add_argument("--simulate_wind", type=lambda v: v != "False", default=False)
+        p.add_argument("--flight_dome_size", type=float, default=100)
+        p.add_argument("--max_duration_seconds", type=float, default=30.0)
+        p.add_argument("--seed", type=int, default=0)
+
+    t = sub.add_parser("train")
+    add_common(t)
+    t.add_argument("--num_envs", type=int, default=2048)
+    t.add_argument("--rollout_steps", type=int, default=32)
+    t.add_argument("--n_epochs", type=int, default=15)
+    t.add_argument("--num_minibatches", type=int, default=32)
+    t.add_argument("--learning_rate", type=float, default=3e-4)
+    t.add_argument("--total_timesteps", type=int, default=100_000_000)
+    t.add_argument("--eval_every_updates", type=int, default=20)
+    t.add_argument("--log_dir", type=str, default=None)
+    t.add_argument("--use_mesh", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval")
+    add_common(e)
+    e.add_argument("--checkpoint", type=str, required=True)
+    e.add_argument("--episodes", type=int, default=16)
+    e.set_defaults(fn=cmd_eval)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
