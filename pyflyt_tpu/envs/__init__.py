@@ -21,6 +21,7 @@ reset keys.
 from pyflyt_tpu.envs.base import StepOut, autoreset_step, vec_reset, vec_step  # noqa: F401
 from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv  # noqa: F401
 from pyflyt_tpu.envs.quadx_waypoints import QuadXWaypointsEnv  # noqa: F401
+from pyflyt_tpu.envs.quadx_gates import QuadXGatesEnv  # noqa: F401
 from pyflyt_tpu.envs.fixedwing_waypoints import FixedwingWaypointsEnv  # noqa: F401
 from pyflyt_tpu.envs.rocket_landing import RocketLandingEnv  # noqa: F401
 from pyflyt_tpu.envs.ma_quadx_hover import MAQuadXHoverEnv  # noqa: F401

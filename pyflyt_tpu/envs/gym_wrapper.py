@@ -78,9 +78,14 @@ class GymnasiumEnv(gymnasium.Env if gymnasium else object):
 
     @staticmethod
     def _to_numpy(obs: Any):
+        def conv(v):
+            v = np.asarray(v)
+            # keep integer image dtypes (e.g. the gates env's uint8 camera)
+            return v if np.issubdtype(v.dtype, np.integer) else v.astype(np.float64)
+
         if isinstance(obs, dict):
-            return {k: np.asarray(v, dtype=np.float64) for k, v in obs.items()}
-        return np.asarray(obs, dtype=np.float64)
+            return {k: conv(v) for k, v in obs.items()}
+        return conv(obs)
 
     def close(self):
         pass
@@ -103,6 +108,9 @@ def register_envs():
         "PyFlyt/QuadX-Waypoints-v1", "pyflyt_tpu.envs.gym_wrapper:_make_quadx_waypoints"
     )
     _register(
+        "PyFlyt/QuadX-Gates-v1", "pyflyt_tpu.envs.gym_wrapper:_make_quadx_gates"
+    )
+    _register(
         "PyFlyt/Fixedwing-Waypoints-v1",
         "pyflyt_tpu.envs.gym_wrapper:_make_fixedwing_waypoints",
     )
@@ -121,6 +129,12 @@ def _make_quadx_waypoints(render_mode=None, **kwargs):
     from pyflyt_tpu.envs.quadx_waypoints import QuadXWaypointsEnv
 
     return GymnasiumEnv(QuadXWaypointsEnv(**kwargs), render_mode)
+
+
+def _make_quadx_gates(render_mode=None, **kwargs):
+    from pyflyt_tpu.envs.quadx_gates import QuadXGatesEnv
+
+    return GymnasiumEnv(QuadXGatesEnv(**kwargs), render_mode)
 
 
 def _make_fixedwing_waypoints(render_mode=None, **kwargs):

@@ -1,0 +1,153 @@
+"""Camera renderer + Gates env tests
+(reference: PyFlyt/core/abstractions/camera.py, gym_envs/quadx_envs/
+quadx_gates_env.py; image-shape contract from tests/test_core.py:95-137)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyflyt_tpu.core import camera as cam
+from pyflyt_tpu.envs.quadx_gates import QuadXGatesEnv
+
+
+def test_render_shapes_and_types():
+    """rgba 4ch uint8, depth 1ch float, seg 1ch int (test_core.py:95-137)."""
+    boxes = cam.Boxes(
+        centers=jnp.asarray([[3.0, 0.0, 1.0]]),
+        half_extents=jnp.asarray([[0.5, 0.5, 0.5]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[1.0, 0.0, 0.0, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+    rgba, depth, seg = jax.jit(
+        lambda p, e: cam.capture_image(p, e, boxes, resolution=(64, 64))
+    )(jnp.asarray([0.0, 0.0, 1.0]), jnp.zeros(3))
+    assert rgba.shape == (64, 64, 4) and rgba.dtype == jnp.uint8
+    assert depth.shape == (64, 64)
+    assert seg.shape == (64, 64) and seg.dtype == jnp.int32
+
+
+def test_render_sees_box_ahead():
+    """A red box straight ahead paints the image center red; sky above."""
+    boxes = cam.Boxes(
+        centers=jnp.asarray([[3.0, 0.0, 1.0]]),
+        half_extents=jnp.asarray([[0.5, 0.5, 0.5]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[1.0, 0.0, 0.0, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+    rgba, depth, seg = cam.capture_image(
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.zeros(3), boxes, resolution=(65, 65)
+    )
+    center = np.asarray(rgba[32, 32])
+    assert center[0] == 255 and center[1] == 0  # red
+    assert int(seg[32, 32]) == 1  # box index 0 -> seg 1
+    assert int(seg[0, 32]) == -1  # sky at top
+    assert int(seg[64, 32]) == 0  # ground at bottom
+    # depth of box (t=2.5) < depth of sky (1.0)
+    assert float(depth[32, 32]) < 1.0
+
+
+def test_render_yaw_turns_view():
+    """Yawing 180° puts the box behind: center becomes sky/ground."""
+    boxes = cam.Boxes(
+        centers=jnp.asarray([[3.0, 0.0, 1.0]]),
+        half_extents=jnp.asarray([[0.5, 0.5, 0.5]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[1.0, 0.0, 0.0, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+    rgba, _, seg = cam.capture_image(
+        jnp.asarray([0.0, 0.0, 1.0]),
+        jnp.asarray([0.0, 0.0, float(np.pi)]),
+        boxes,
+        resolution=(65, 65),
+    )
+    assert int(seg[32, 32]) != 1
+
+
+def test_gate_boxes_frame():
+    """4 segments forming a square opening around the gate center."""
+    boxes = cam.gate_boxes(
+        jnp.asarray([[0.0, 0.0, 1.0]]),
+        jnp.zeros((1, 3)),
+        jnp.asarray([[0.0, 1.0, 0.0, 1.0]]),
+    )
+    c = np.asarray(boxes.centers)
+    assert c.shape == (4, 3)
+    np.testing.assert_allclose(
+        sorted(c[:, 2]), [0.775, 1.0, 1.0, 1.225], atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# gates env
+# ---------------------------------------------------------------------------
+
+ENV = QuadXGatesEnv(camera_resolution=(32, 32))
+
+
+def test_gates_reset_obs():
+    state, obs = ENV.reset(jax.random.PRNGKey(0))
+    assert obs["attitude"].shape == (21,)
+    assert obs["rgba_cam"].shape == (4, 32, 32)
+    assert obs["rgba_cam"].dtype == jnp.uint8
+    assert obs["target_deltas"].shape == (5, 3)
+    # chained gates: consecutive spacings within [min, max·(1+slack)]
+    g = np.asarray(state.gate_positions)
+    legs = np.linalg.norm(np.diff(np.vstack([[0, 0, 1], g]), axis=0), axis=-1)
+    assert (legs >= 1.0 - 1e-5).all() and (legs <= 4.0 + 2.0).all()
+
+
+def test_gates_pass_gives_100():
+    state, obs = ENV.reset(jax.random.PRNGKey(1))
+    # teleport the current gate onto the drone hover point
+    gp = state.gate_positions.at[0].set(jnp.asarray([0.0, 0.0, 1.0]))
+    state = state.replace(gate_positions=gp)
+    step = jax.jit(ENV.step)
+    state, out = step(state, jnp.zeros(4))
+    assert float(out.reward) > 90.0
+    assert int(state.idx) == 1
+    assert int(out.info["num_targets_reached"]) == 1
+
+
+def test_gates_too_far_terminates():
+    env = QuadXGatesEnv(camera_resolution=(32, 32), flight_mode=7)
+    state, obs = env.reset(jax.random.PRNGKey(2))
+    # teleport all gates far away -> dis > 2·max_gate_distance
+    gp = state.gate_positions + 100.0
+    state = state.replace(gate_positions=gp)
+    state, out = jax.jit(env.step)(state, jnp.asarray([0.0, 0.0, 0.0, 1.0]))
+    assert bool(out.termination)
+    assert bool(out.info["out_of_bounds"])
+    assert float(out.reward) <= -100.0
+
+
+def test_gates_determinism():
+    step = jax.jit(ENV.step)
+
+    def rollout(seed):
+        state, obs = ENV.reset(jax.random.PRNGKey(seed))
+        rows = [np.asarray(obs["rgba_cam"])]
+        for _ in range(5):
+            state, out = step(state, jnp.asarray([0.0, 0.0, 0.0, 0.4]))
+            rows.append(np.asarray(out.obs["rgba_cam"]))
+        return rows
+
+    for a, b in zip(rollout(3), rollout(3)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_gates_camera_sees_green_gate():
+    """The current gate is green in the FPV image for a drone looking at it
+    (128² so the 5 cm frame bars span ≥1 pixel at 2 m)."""
+    env = QuadXGatesEnv(camera_resolution=(128, 128))
+    state, obs = env.reset(jax.random.PRNGKey(4))
+    # put gate 0 straight ahead of the (level) drone
+    gp = state.gate_positions.at[0].set(jnp.asarray([2.0, 0.0, 1.0]))
+    ge = state.gate_eulers.at[0].set(jnp.asarray([0.0, 0.0, jnp.pi / 2]))
+    state = state.replace(gate_positions=gp, gate_eulers=ge)
+    img = np.asarray(env._render_camera(state))  # (4, H, W)
+    # some pixels must be pure green (the gate frame)
+    green = (img[0] < 50) & (img[1] > 200) & (img[2] < 50)
+    assert green.sum() > 3
