@@ -14,7 +14,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-from pyflyt_tpu.envs import autoreset_step, vec_reset
+from pyflyt_tpu.envs import autoreset_init, cached_autoreset_step
 from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv
 
 NUM_ENVS = 8192
@@ -25,7 +25,9 @@ TARGET_ENV_STEPS_PER_S = 10_000_000.0  # BASELINE.json north star
 def main():
     env = QuadXHoverEnv()
     keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
-    state, _ = jax.jit(lambda k: vec_reset(env, k))(keys)
+    # cached auto-reset: reset work amortized round-robin instead of
+    # recomputed for the whole batch each step (envs/base.py)
+    state, _ = jax.jit(lambda k: autoreset_init(env, k))(keys)
 
     hover_t = float(jnp.sqrt(0.027 * 9.81 / 2.0))
 
@@ -38,7 +40,7 @@ def main():
             action = jnp.asarray([0.0, 0.0, 0.0, hover_t]) + 0.1 * jax.random.normal(
                 sub, (NUM_ENVS, 4)
             )
-            st, out = autoreset_step(env, st, action)
+            st, out = cached_autoreset_step(env, st, action, refresh=128)
             return (st, key), out.reward
 
         (state, key), rewards = jax.lax.scan(

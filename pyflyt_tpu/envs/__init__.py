@@ -18,7 +18,15 @@ All methods are pure and jit/vmap/scan-composable; batching is `vmap` over the
 reset keys.
 """
 
-from pyflyt_tpu.envs.base import StepOut, autoreset_step, vec_reset, vec_step  # noqa: F401
+from pyflyt_tpu.envs.base import (  # noqa: F401
+    AutoResetState,
+    StepOut,
+    autoreset_init,
+    autoreset_step,
+    cached_autoreset_step,
+    vec_reset,
+    vec_step,
+)
 from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv  # noqa: F401
 from pyflyt_tpu.envs.quadx_waypoints import QuadXWaypointsEnv  # noqa: F401
 from pyflyt_tpu.envs.quadx_gates import QuadXGatesEnv  # noqa: F401

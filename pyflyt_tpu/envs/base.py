@@ -70,6 +70,11 @@ def autoreset_step(
     returned ``StepOut`` reflects the *pre-reset* transition (standard vec-env
     convention: the final obs of an episode is replaced by the next episode's
     initial obs, and reward/term/trunc describe the finished transition).
+
+    NOTE: this recomputes ``env.reset`` for the whole batch every step (the
+    vmap cost model), which for envs with reset-time stabilization rollouts
+    is ~3-4× the cost of the step itself. The fast path is the cached
+    variant below (``autoreset_init`` / ``cached_autoreset_step``).
     """
     state, out = jax.vmap(env.step)(state, action)
     done = out.termination | out.truncation
@@ -84,3 +89,98 @@ def autoreset_step(
     state = jax.tree.map(pick, reset_state, state)
     obs = jax.tree.map(pick, reset_obs, out.obs)
     return state, out.replace(obs=obs)
+
+
+# ---------------------------------------------------------------------------
+# amortized auto-reset (the fast path)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class AutoResetState:
+    """Env batch + a per-env cache of pre-computed reset states.
+
+    Instead of recomputing ``env.reset`` for every env on every step, the
+    cache is refreshed round-robin (``refresh`` envs per step) and finished
+    envs substitute their cached entry. Each cached reset was generated from
+    a fresh PRNG key drawn independently of the episode outcome, so the reset
+    distribution is identical to the exact path; the only deviation is that
+    an env finishing twice within one refresh cycle (num_envs/refresh steps)
+    reuses the same *initial* state — its PRNG key is re-derived on
+    consumption, so the subsequent trajectory still diverges.
+    """
+
+    env_state: Any
+    cache_state: Any
+    cache_obs: Any
+    refresh_pos: Array  # int32: next cache slot to refresh
+    step_idx: Array  # int32
+    key: Array  # PRNG stream for cache refreshes
+
+
+def autoreset_init(env: FunctionalEnv, keys: Array) -> tuple[AutoResetState, Any]:
+    """Resets the batch and fills the reset cache."""
+    num_envs = keys.shape[0]
+    state, obs = jax.vmap(env.reset)(keys)
+    cache_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+    cache_state, cache_obs = jax.vmap(env.reset)(cache_keys)
+    return (
+        AutoResetState(
+            env_state=state,
+            cache_state=cache_state,
+            cache_obs=cache_obs,
+            refresh_pos=jnp.zeros((), jnp.int32),
+            step_idx=jnp.zeros((), jnp.int32),
+            key=jax.random.fold_in(keys[0], 0xCACE),
+        ),
+        obs,
+    )
+
+
+def cached_autoreset_step(
+    env: FunctionalEnv, ars: AutoResetState, action: Array, refresh: int = 64
+) -> tuple[AutoResetState, StepOut]:
+    """Vectorized step with cached auto-reset (see :class:`AutoResetState`).
+
+    ``refresh`` cache slots are regenerated per step — the only per-step
+    reset work, amortizing reset cost by ``num_envs/refresh``.
+    """
+    state, out = jax.vmap(env.step)(ars.env_state, action)
+    done = out.termination | out.truncation
+
+    # substitute cached resets for finished envs (key re-derived so repeat
+    # consumers of a stale slot still diverge)
+    fresh = ars.cache_state
+    fresh = fresh.replace(
+        key=jax.vmap(lambda k: jax.random.fold_in(k, ars.step_idx))(fresh.key)
+    )
+
+    def pick(new, old):
+        mask = done.reshape(done.shape + (1,) * (jnp.ndim(old) - done.ndim))
+        return jnp.where(mask, new, old)
+
+    state = jax.tree.map(pick, fresh, state)
+    obs = jax.tree.map(pick, ars.cache_obs, out.obs)
+
+    # round-robin cache refresh
+    num_envs = done.shape[0]
+    key, sub = jax.random.split(ars.key)
+    new_keys = jax.random.split(sub, refresh)
+    new_state, new_obs = jax.vmap(env.reset)(new_keys)
+    pos = ars.refresh_pos
+
+    def write(cache, new):
+        return jax.lax.dynamic_update_slice_in_dim(cache, new, pos, axis=0)
+
+    cache_state = jax.tree.map(write, ars.cache_state, new_state)
+    cache_obs = jax.tree.map(write, ars.cache_obs, new_obs)
+
+    ars = AutoResetState(
+        env_state=state,
+        cache_state=cache_state,
+        cache_obs=cache_obs,
+        refresh_pos=(pos + refresh) % num_envs,
+        step_idx=ars.step_idx + 1,
+        key=key,
+    )
+    return ars, out.replace(obs=obs)

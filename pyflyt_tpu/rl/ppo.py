@@ -50,6 +50,10 @@ class PPOConfig:
     feature_sizes: tuple = (256, 256)  # custom_feature_extractor.py:18-23
     pi_sizes: tuple = ()
     vf_sizes: tuple = ()
+    # amortized auto-reset (envs/base.py AutoResetState): ~3× faster rollouts
+    # for envs with reset-time stabilization; 0 disables (exact per-step
+    # resets). Value = cache slots refreshed per step.
+    cached_reset_refresh: int = 0
 
     @property
     def batch_size(self) -> int:
@@ -120,7 +124,12 @@ class PPO:
     def init(self, key: Array) -> RunnerState:
         key, net_key, env_key = jax.random.split(key, 3)
         env_keys = jax.random.split(env_key, self.config.num_envs)
-        env_state, obs = jax.vmap(self.env.reset)(env_keys)
+        if self.config.cached_reset_refresh > 0:
+            from pyflyt_tpu.envs.base import autoreset_init
+
+            env_state, obs = autoreset_init(self.env, env_keys)
+        else:
+            env_state, obs = jax.vmap(self.env.reset)(env_keys)
         obs = _flat_obs(obs)
         params = self.network.init(net_key, obs[:1])
         opt_state = self.optimizer.init(params)
@@ -148,13 +157,22 @@ class PPO:
         return jnp.clip(mean, self.action_low, self.action_high)
 
     # ------------------------------------------------------------- rollout
+    def _env_step(self, env_state, action):
+        if self.config.cached_reset_refresh > 0:
+            from pyflyt_tpu.envs.base import cached_autoreset_step
+
+            return cached_autoreset_step(
+                self.env, env_state, action, self.config.cached_reset_refresh
+            )
+        return autoreset_step(self.env, env_state, action)
+
     def _rollout(self, runner: RunnerState):
         def body(carry, _):
             env_state, obs, key = carry
             key, act_key = jax.random.split(key)
             action, log_prob, value = self.act(runner.params, obs, act_key)
             clipped = jnp.clip(action, self.action_low, self.action_high)
-            env_state, out = autoreset_step(self.env, env_state, clipped)
+            env_state, out = self._env_step(env_state, clipped)
             done = out.termination | out.truncation
             t = Transition(
                 obs=obs,
@@ -291,15 +309,32 @@ class PPO:
 
     # ------------------------------------------------------------- sharding
     def shard_runner(self, runner: RunnerState, mesh) -> RunnerState:
-        """Places env state/obs on P('env'), everything else replicated."""
+        """Places env state/obs on P('env'), everything else replicated.
+
+        Leaves without a num_envs-sized leading axis (e.g. the cached
+        auto-reset counters) are replicated.
+        """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         env_sharding = NamedSharding(mesh, P("env"))
         replicated = NamedSharding(mesh, P())
+        n = self.config.num_envs
+
+        def shard_env(tree):
+            return jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    env_sharding
+                    if jnp.ndim(x) >= 1 and x.shape[0] == n
+                    else replicated,
+                ),
+                tree,
+            )
+
         return RunnerState(
             params=jax.device_put(runner.params, replicated),
             opt_state=jax.device_put(runner.opt_state, replicated),
-            env_state=jax.device_put(runner.env_state, env_sharding),
+            env_state=shard_env(runner.env_state),
             obs=jax.device_put(runner.obs, env_sharding),
             key=jax.device_put(runner.key, replicated),
             update_idx=jax.device_put(runner.update_idx, replicated),

@@ -107,3 +107,20 @@ def test_learning_improves_hover():
     early = np.mean(rewards[4:9])
     late = np.mean(rewards[-6:])
     assert late > early + 0.1, (early, late, rewards)
+
+
+def test_cached_reset_rollout():
+    """PPO with the amortized auto-reset trains and shards."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    cfg = dataclasses.replace(SMALL, cached_reset_refresh=2)
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    runner = ppo.shard_runner(runner, mesh)
+    runner, metrics = jax.jit(ppo.train_iteration)(runner)
+    jax.block_until_ready(runner.params)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(runner.update_idx) == 1

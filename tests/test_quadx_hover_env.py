@@ -159,3 +159,46 @@ def test_gymnasium_wrapper_api():
     genv2 = gymnasium.make("PyFlyt/QuadX-Hover-v1")
     obs, _ = genv2.reset(seed=0)
     assert obs.shape == (21,)
+
+
+def test_cached_autoreset_matches_distribution():
+    """cached_autoreset_step: finished envs get fresh cached resets; obs of a
+    done env equals a valid reset obs; cache refresh rotates."""
+    from pyflyt_tpu.envs import autoreset_init, cached_autoreset_step
+
+    env = QuadXHoverEnv(max_duration_seconds=0.25)  # truncates in 10 steps
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    ars, obs = jax.jit(lambda k: autoreset_init(env, k))(keys)
+    step = jax.jit(lambda a, act: cached_autoreset_step(env, a, act, refresh=4))
+    action = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, HOVER_T]), (16, 1))
+    saw_done = False
+    for i in range(25):
+        ars, out = step(ars, action)
+        done = np.asarray(out.termination | out.truncation)
+        if done.any():
+            saw_done = True
+            # post-reset env state: step counter back to zero
+            assert int(ars.env_state.step_count[np.argmax(done)]) == 0
+        assert np.isfinite(np.asarray(out.obs)).all()
+    assert saw_done
+    assert int(ars.refresh_pos) == (25 * 4) % 16
+
+
+def test_cached_autoreset_episodes_diverge():
+    """Two consecutive episodes of the same env slot must differ (the key is
+    re-derived on cache consumption)."""
+    from pyflyt_tpu.envs import autoreset_init, cached_autoreset_step
+
+    env = QuadXHoverEnv(max_duration_seconds=0.25, noisy_motors=True)
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    # refresh=0 is invalid; use 1 slot/step => full cycle 4 steps < episode
+    ars, obs = jax.jit(lambda k: autoreset_init(env, k))(keys)
+    step = jax.jit(lambda a, act: cached_autoreset_step(env, a, act, refresh=1))
+    action = jnp.tile(jnp.asarray([0.1, 0.0, 0.0, HOVER_T]), (4, 1))
+    rows = []
+    for i in range(31):
+        ars, out = step(ars, action)
+        rows.append(np.asarray(out.obs[0]))
+    # episode length 11 -> steps 10 and 21 are first steps of ep 2 and 3
+    ep2, ep3 = rows[11], rows[22]
+    assert not np.array_equal(ep2, ep3)
