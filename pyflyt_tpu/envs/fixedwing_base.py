@@ -91,6 +91,9 @@ class FixedwingBaseEnv:
     def action_size(self) -> int:
         return 4
 
+    # third-person render box (span 2.5 m, length 1.4 m)
+    render_half_extents = (0.7, 1.25, 0.1)
+
     def action_bounds(self):
         """±1 control surfaces, [0, 1] thrust (fixedwing_base_env.py:76-99)."""
         import numpy as np

@@ -29,12 +29,19 @@ def _require_gymnasium():
 class GymnasiumEnv(gymnasium.Env if gymnasium else object):
     """Wraps a FunctionalEnv into the Gymnasium API."""
 
-    metadata = {"render_modes": [], "render_fps": 30}
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 30}
 
-    def __init__(self, fenv, render_mode: str | None = None):
+    def __init__(
+        self,
+        fenv,
+        render_mode: str | None = None,
+        render_resolution: tuple[int, int] = (480, 480),
+    ):
         _require_gymnasium()
         self.fenv = fenv
         self.render_mode = render_mode
+        self.render_resolution = render_resolution
+        self._jit_render = None
 
         low, high = fenv.action_bounds()
         self.action_space = spaces.Box(
@@ -86,6 +93,66 @@ class GymnasiumEnv(gymnasium.Env if gymnasium else object):
         if isinstance(obs, dict):
             return {k: conv(v) for k, v in obs.items()}
         return conv(obs)
+
+    def render(self):
+        """``rgb_array`` render: a chase-camera ray-cast view of the vehicle
+        (reference contract: HxWx4 uint8 — tests/test_gym_envs.py:174-196).
+
+        The reference renders through PyBullet's debug visualizer
+        (quadx_base_env.py:281-299); here the scene (ground + vehicle box +
+        any task geometry the env exposes via ``scene_boxes``) goes through
+        the on-device ray caster.
+        """
+        assert self.render_mode is not None, (
+            "Please set `render_mode='rgb_array'` to use this function."
+        )
+        import jax
+        import jax.numpy as jnp
+
+        from pyflyt_tpu.core import camera as cam
+        from pyflyt_tpu.core import math as pm
+
+        if self._jit_render is None:
+
+            half_extents = getattr(
+                self.fenv, "render_half_extents", (0.12, 0.12, 0.04)
+            )
+
+            def _render(state):
+                view = state.drone.read.view
+                # vehicle as an oriented box at its pose
+                body_box = cam.Boxes(
+                    centers=view[3][None, :],
+                    half_extents=jnp.asarray([list(half_extents)]),
+                    rotations=pm.euler_to_rotmat(view[1])[None],
+                    colors=jnp.asarray([[0.9, 0.1, 0.1, 1.0]]),
+                    visible=jnp.ones((1,), bool),
+                )
+                boxes = body_box
+                if hasattr(self.fenv, "scene_boxes"):
+                    extra = self.fenv.scene_boxes(state)
+                    boxes = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b], axis=0), boxes, extra
+                    )
+                # chase camera: behind and above the vehicle, yaw-following
+                yaw = view[1][2]
+                offset = jnp.stack(
+                    [-3.0 * jnp.cos(yaw), -3.0 * jnp.sin(yaw), 1.5]
+                )
+                eye = view[3] + offset
+                to_target = view[3] - eye
+                pitch = jnp.arctan2(
+                    to_target[2], jnp.linalg.norm(to_target[:2])
+                )
+                euler = jnp.stack([0.0 * yaw, -pitch, yaw])
+                rgba, _, _ = cam.capture_image(
+                    eye, euler, boxes, resolution=self.render_resolution,
+                    fov_degrees=60.0,
+                )
+                return rgba
+
+            self._jit_render = jax.jit(_render)
+        return np.asarray(self._jit_render(self._state))
 
     def close(self):
         pass

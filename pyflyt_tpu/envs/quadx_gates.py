@@ -145,6 +145,19 @@ class QuadXGatesEnv(QuadXBaseEnv):
         )
         return jnp.moveaxis(rgba, -1, 0)
 
+    def scene_boxes(self, state: QuadXGatesState):
+        """Task geometry for third-person renders (gym_wrapper.render)."""
+        idx = state.idx
+        order = jnp.arange(self.num_targets)
+        green = jnp.asarray([0.0, 1.0, 0.0, 1.0])
+        yellow = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+        red = jnp.asarray([1.0, 0.0, 0.0, 1.0])
+        colors = jnp.where(
+            (order < idx)[:, None], red,
+            jnp.where((order == idx)[:, None], green, yellow),
+        )
+        return cam.gate_boxes(state.gate_positions, state.gate_eulers, colors)
+
     # ----- obs --------------------------------------------------------------
     def _deltas(self, state: QuadXGatesState) -> tuple[Array, Array]:
         """Body-frame deltas to ALL gates + distance to the current one

@@ -105,6 +105,9 @@ class RocketBaseEnv:
     def action_size(self) -> int:
         return 7
 
+    # third-person render box (rocket.urdf: cylinder r=0.185, l=4.77)
+    render_half_extents = (0.2, 0.2, 2.4)
+
     def action_bounds(self):
         import numpy as np
 

@@ -154,6 +154,19 @@ class RocketLandingEnv(RocketBaseEnv):
             env_complete=state.env_complete | complete,
         )
 
+    def scene_boxes(self, state: RocketLandingState):
+        """The landing pad for third-person renders (box-approximated
+        cylinder, landing_pad.urdf: r=2, l=0.1)."""
+        from pyflyt_tpu.core import camera as cam
+
+        return cam.Boxes(
+            centers=state.pad_position[None, :],
+            half_extents=jnp.asarray([[2.0, 2.0, 0.05]]),
+            rotations=jnp.eye(3)[None],
+            colors=jnp.asarray([[0.2, 0.2, 0.8, 1.0]]),
+            visible=jnp.ones((1,), bool),
+        )
+
     def step(
         self, state: RocketLandingState, action: Array
     ) -> tuple[RocketLandingState, StepOut]:

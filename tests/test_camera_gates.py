@@ -151,3 +151,24 @@ def test_gates_camera_sees_green_gate():
     # some pixels must be pure green (the gate frame)
     green = (img[0] < 50) & (img[1] > 200) & (img[2] < 50)
     assert green.sum() > 3
+
+
+def test_gym_rgb_array_render():
+    """render() returns HxWx4 uint8 for every registered env
+    (the reference contract — tests/test_gym_envs.py:174-196)."""
+    import gymnasium
+
+    from pyflyt_tpu.envs.gym_wrapper import register_envs
+
+    register_envs()
+    for env_id in (
+        "PyFlyt/QuadX-Hover-v1",
+        "PyFlyt/Fixedwing-Waypoints-v1",
+        "PyFlyt/Rocket-Landing-v1",
+    ):
+        env = gymnasium.make(env_id, render_mode="rgb_array").unwrapped
+        env.reset(seed=0)
+        img = env.render()
+        assert img.shape == (480, 480, 4), env_id
+        assert img.dtype == np.uint8
+        env.close()
