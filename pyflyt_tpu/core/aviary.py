@@ -285,7 +285,16 @@ class Aviary:
         specs: tuple[DroneSpec, ...] | None = None,
         physics_hz: int = 240,
         wind_fn=None,
+        obstacles=None,
     ):
+        """``obstacles``: optional ``pyflyt_tpu.core.camera.Boxes`` of static
+        scene geometry — the functional analogue of ``loadOBJ`` +
+        ``register_all_new_bodies`` (core/utils/load_objs.py:8-46,
+        aviary.py:309): obstacle proximity feeds the per-drone contact flags
+        and the boxes render in third-person views. Detection only — unlike
+        PyBullet, obstacles do not apply reaction forces (every task treats
+        obstacle contact as terminal, so the post-contact state is never
+        consumed)."""
         import numpy as np
 
         self.start_pos = np.asarray(start_pos, dtype=np.float32)
@@ -301,6 +310,7 @@ class Aviary:
         self.specs = specs
         self.physics_hz = physics_hz
         self.wind_fn = wind_fn
+        self.obstacles = obstacles
         self.handles = [
             _HANDLE_TYPES[s.drone_type](s, physics_hz) for s in specs
         ]
@@ -393,6 +403,21 @@ class Aviary:
         mat = dist < thresh
         return mat & ~jnp.eye(n, dtype=bool)
 
+    def _obstacle_contacts(self, drones: tuple) -> Array:
+        """(n,) bool — per-drone sphere-vs-OBB proximity to the obstacles."""
+        n = self.num_drones
+        if self.obstacles is None:
+            return jnp.zeros((n,), bool)
+        pos = jnp.stack([h.pos(d) for h, d in zip(self.handles, drones)])
+        radii = jnp.asarray([h.collision_radius for h in self.handles])
+        ob = self.obstacles
+        # drone centers in each box frame
+        rel = pos[:, None, :] - ob.centers[None, :, :]  # (n, k, 3)
+        local = jnp.einsum("kij,nkj->nki", jnp.swapaxes(ob.rotations, -1, -2), rel)
+        clamped = jnp.clip(local, -ob.half_extents, ob.half_extents)
+        d2 = jnp.sum((local - clamped) ** 2, axis=-1)  # (n, k)
+        return jnp.any(d2 < (radii[:, None] ** 2), axis=-1)
+
     def step(self, state: AviaryState) -> AviaryState:
         """One aviary step = ``updates_per_step`` physics iterations
         (aviary.py:472-503)."""
@@ -414,7 +439,10 @@ class Aviary:
                 drones[i] = tree_select(armed_i, stepped, ballistic)
             contacts = jnp.stack([d.contact for d in drones])
             matrix = self._pairwise_contacts(tuple(drones))
-            any_contact = any_contact | contacts | jnp.any(matrix, axis=-1)
+            obstacle_hits = self._obstacle_contacts(tuple(drones))
+            any_contact = (
+                any_contact | contacts | jnp.any(matrix, axis=-1) | obstacle_hits
+            )
             any_matrix = any_matrix | matrix
 
         return state.replace(

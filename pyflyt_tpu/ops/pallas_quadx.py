@@ -1,0 +1,450 @@
+"""Pallas TPU kernel: fused QuadX agent step (mode 0 / mode 8).
+
+The pure-XLA step stores state as ``(N, 3)``/``(N, 4)`` arrays whose minor
+dims land on the TPU's 128-wide lanes — ~2-3% lane utilization per op, and
+every elementwise op in the 6-physics-iteration chain round-trips HBM. This
+kernel transposes the world: the whole drone state is packed as a
+``(ROWS, N)`` matrix (env axis on lanes), one grid program owns a
+``(ROWS, TILE)`` block in VMEM, and the entire aviary-step chain — PID
+cascade → motor mix → saturation → throttle lag (+ noise) → wrench → lagged
+state read → semi-implicit Euler → ground contact — runs register-resident
+per 128-env vector.
+
+Math is identical to the reference path (models/quadx.py), with two
+documented deviations:
+- motor noise draws from the Pallas per-core PRNG (Box-Muller) instead of
+  the threefry stream — same distribution, different sequence;
+- ground contact is detection + positional projection + inelastic vertical
+  stop (the envs that use this path terminate on contact, so the reference's
+  full impulse resolution is never observed).
+
+Validated against ``quadx.step`` in tests/test_pallas_quadx.py (noise off ⇒
+bitwise-close agreement).
+
+Measured on one v5e chip (8192 envs, 256-step scan, noise on):
+``packed_step`` 80.2M aviary-steps/s vs 64.8M for the isolated XLA
+``quadx.step`` — a 1.24× stepping speedup. The full env pipeline (obs/reward
++ cached auto-reset) already reaches a similar per-aviary-step rate through
+XLA fusion, so this kernel is an *experimental* fast path (modes 0/8, no
+wind, detection-grade contact), not the default.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from pyflyt_tpu.models import quadx
+
+ROWS = 56  # 50 used, padded to a multiple of 8 sublanes
+
+# row layout
+_POS = 0       # 3: world ENU position
+_QUAT = 3      # 4: xyzw body->world
+_LVEL = 7      # 3: world linear velocity
+_AVEL = 10     # 3: world angular velocity
+_VIEW = 13     # 12: [ang_vel_b, euler, lin_vel_b, lin_pos] (lagged)
+_AVB = 25      # 3: lagged body rates
+_DRG = 28     # 3: lagged body-frame air velocity
+_THR = 31      # 4: motor throttle
+_PWM = 35      # 4: motor pwm
+_SP = 39       # 4: setpoint
+_PINT = 43     # 3: ang_vel PID integral
+_PPRV = 46     # 3: ang_vel PID prev error
+_CON = 49      # 1: contact flag (0/1)
+
+
+def pack_state(state: quadx.QuadXState) -> Array:
+    """QuadXState (batch (N,)) -> (ROWS, N) f32."""
+    n = state.body.pos.shape[0]
+    rows = [
+        state.body.pos.T,
+        state.body.quat.T,
+        state.body.lin_vel.T,
+        state.body.ang_vel.T,
+        state.read.view.reshape(n, 12).T,
+        state.read.ang_vel_body.T,
+        state.read.drag_local_vel.T,
+        state.throttle.T,
+        state.pwm.T,
+        state.setpoint.T,
+        state.pids.ang_vel.integral.T,
+        state.pids.ang_vel.prev_error.T,
+        state.contact.astype(jnp.float32)[None, :],
+    ]
+    packed = jnp.concatenate(rows, axis=0)
+    pad = ROWS - packed.shape[0]
+    return jnp.concatenate(
+        [packed, jnp.zeros((pad, n), packed.dtype)], axis=0
+    )
+
+
+def unpack_state(packed: Array, template: quadx.QuadXState) -> quadx.QuadXState:
+    """(ROWS, N) -> QuadXState (non-mode-0 PID banks keep template values)."""
+    g = lambda r, k: packed[r : r + k].T
+    n = packed.shape[1]
+    return template.replace(
+        body=template.body.replace(
+            pos=g(_POS, 3), quat=g(_QUAT, 4), lin_vel=g(_LVEL, 3),
+            ang_vel=g(_AVEL, 3),
+        ),
+        read=template.read.replace(
+            view=g(_VIEW, 12).reshape(n, 4, 3),
+            ang_vel_body=g(_AVB, 3),
+            drag_local_vel=g(_DRG, 3),
+        ),
+        throttle=g(_THR, 4),
+        pwm=g(_PWM, 4),
+        setpoint=g(_SP, 4),
+        pids=template.pids.replace(
+            ang_vel=template.pids.ang_vel.replace(
+                integral=g(_PINT, 3), prev_error=g(_PPRV, 3)
+            )
+        ),
+        contact=packed[_CON] > 0.5,
+        physics_steps=template.physics_steps,
+    )
+
+
+def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
+                  noisy: bool):
+    """Bakes the (concrete) parameters into a kernel body."""
+    assert mode in (0, 8), "pallas fast path supports modes 0 and 8"
+    p = lambda x: np.asarray(x, dtype=np.float64)
+    kp = p(params.pid_ang_vel.kp)
+    ki = p(params.pid_ang_vel.ki)
+    kd = p(params.pid_ang_vel.kd)
+    lim = p(params.pid_ang_vel.lim)
+    period = float(params.pid_ang_vel.period)
+    mmap = p(params.motor_map)  # (4, 4)
+    mpos = p(params.motor.positions)  # (4, 3)
+    ct = p(params.motor.thrust_coef)
+    cq = p(params.motor.torque_coef)
+    tau = p(params.motor.tau)
+    max_rpm = p(params.motor.max_rpm)
+    noise_ratio = p(params.motor.noise_ratio)
+    drag_k = p(params.drag_const_xyz)
+    drag_pqr = float(params.drag_coef_pqr)
+    mass = float(params.mass)
+    inertia = p(params.inertia)
+    hx, hy, hz = [float(v) for v in p(params.collision_half_extents)]
+    dt = cfg.physics_period
+    min_pwm, max_pwm = cfg.min_pwm, cfg.max_pwm
+    ratio = cfg.physics_control_ratio
+    g = 9.81
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic has no atan2/arcsin lowering — polynomial implementations
+    # (f32-grade minimax, |err| < 2e-5 rad; only feeds the euler observation)
+    def _atan_unit(t):  # |t| <= 1
+        t2 = t * t
+        return t * (
+            0.99997726
+            + t2
+            * (
+                -0.33262347
+                + t2
+                * (
+                    0.19354346
+                    + t2 * (-0.11643287 + t2 * (0.05265332 + t2 * -0.01172120))
+                )
+            )
+        )
+
+    def _atan(t):
+        at = jnp.abs(t)
+        inv = at > 1.0
+        z = jnp.where(inv, 1.0 / jnp.maximum(at, 1e-30), at)
+        r = _atan_unit(z)
+        r = jnp.where(inv, (np.pi / 2) - r, r)
+        return jnp.where(t < 0.0, -r, r)
+
+    def _atan2(yv, xv):
+        safe_x = jnp.where(jnp.abs(xv) < 1e-30,
+                           jnp.where(xv >= 0.0, 1e-30, -1e-30), xv)
+        base = _atan(yv / safe_x)
+        add = jnp.where(yv >= 0.0, np.pi, -np.pi)
+        return jnp.where(xv < 0.0, base + add, base)
+
+    def _asin(s):
+        s = jnp.clip(s, -1.0, 1.0)
+        return _atan2(s, jnp.sqrt(jnp.maximum(1.0 - s * s, 1e-12)))
+
+    def kernel(seed_ref, s_ref, o_ref):
+        if noisy:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        S = s_ref[:]  # (ROWS, TILE)
+        row = lambda r, k=1: S[r : r + k]
+
+        def normal(shape):
+            # Box-Muller from two 31-bit draws (mosaic lacks uint32->f32 cast)
+            b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+            b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
+            u1 = (b1 & 0x7FFFFFFF).astype(jnp.float32) / 2147483648.0
+            u2 = (b2 & 0x7FFFFFFF).astype(jnp.float32) / 2147483648.0
+            u1 = jnp.clip(u1, 1e-7, 1.0)
+            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+
+        # ---- unpack mutable registers
+        pos = [S[_POS + i] for i in range(3)]
+        quat = [S[_QUAT + i] for i in range(4)]
+        lvel = [S[_LVEL + i] for i in range(3)]
+        avel = [S[_AVEL + i] for i in range(3)]
+        view = [S[_VIEW + i] for i in range(12)]
+        avb = [S[_AVB + i] for i in range(3)]
+        drg = [S[_DRG + i] for i in range(3)]
+        thr = [S[_THR + i] for i in range(4)]
+        pwm = [S[_PWM + i] for i in range(4)]
+        sp = [S[_SP + i] for i in range(4)]
+        pint = [S[_PINT + i] for i in range(3)]
+        pprv = [S[_PPRV + i] for i in range(3)]
+        contact = S[_CON]
+        any_contact = jnp.zeros_like(contact)
+
+        for it in range(ratio):
+            # ---------------- control at iteration 0 (aviary.py:480-484)
+            if it == 0:
+                if mode == 8:
+                    # direct PWM (quadx.py:452-454); saturation still applies
+                    raw = [sp[0], sp[1], sp[2], sp[3]]
+                else:  # mode 0: ang_vel PID + z clip (quadx.py:465-561)
+                    cmd = []
+                    for i in range(3):
+                        err = sp[i] - view[0 + i]  # view rows 0-2 = ang_vel
+                        pint[i] = jnp.clip(
+                            pint[i] + ki[i] * err * period, -lim[i], lim[i]
+                        )
+                        deriv = kd[i] * (err - pprv[i]) / period
+                        pprv[i] = err
+                        cmd.append(
+                            jnp.clip(kp[i] * err + pint[i] + deriv, -lim[i], lim[i])
+                        )
+                    cmd.append(jnp.clip(sp[3], 0.0, 1.0))
+                    raw = [
+                        mmap[m, 0] * cmd[0] + mmap[m, 1] * cmd[1]
+                        + mmap[m, 2] * cmd[2] + mmap[m, 3] * cmd[3]
+                        for m in range(4)
+                    ]
+                # saturation rescale (quadx.py:553-561)
+                high = jnp.maximum(jnp.maximum(raw[0], raw[1]),
+                                   jnp.maximum(raw[2], raw[3]))
+                low = jnp.minimum(jnp.minimum(raw[0], raw[1]),
+                                  jnp.minimum(raw[2], raw[3]))
+                pmax = jnp.minimum(high, max_pwm)
+                pmin = jnp.maximum(low, min_pwm)
+                dh = jnp.where(high != low, pmax - low, 1.0)
+                dl = jnp.where(high != low, high - pmin, 1.0)
+                pwm = [
+                    jnp.clip(
+                        jnp.where(
+                            high != low,
+                            r + (pmin - low) / dh * (pmax - r)
+                            - (high - pmax) / dl * (r - pmin),
+                            r,
+                        ),
+                        min_pwm,
+                        max_pwm,
+                    )
+                    for r in raw
+                ]
+
+            # ---------------- physics iteration (models/quadx.py physics_iter)
+            # motor throttle lag + noise
+            if noisy:
+                # 2-D draw (TPU PRNG needs >=2D); rows 0-3 = per-motor noise
+                nrm = normal((8, contact.shape[-1]))
+            for m in range(4):
+                thr[m] = thr[m] + (dt / tau[m]) * (pwm[m] - thr[m])
+                if noisy:
+                    thr[m] = thr[m] + nrm[m] * thr[m] * noise_ratio[m]
+
+            # wrench from the LAGGED read state
+            fz = jnp.zeros_like(thr[0])
+            tx = jnp.zeros_like(thr[0])
+            ty = jnp.zeros_like(thr[0])
+            tz = jnp.zeros_like(thr[0])
+            for m in range(4):
+                rpm = thr[m] * max_rpm[m]
+                rc = rpm * rpm * jnp.sign(rpm)
+                f = rc * ct[m]
+                fz = fz + f
+                tx = tx + mpos[m][1] * f  # r × F for F along +z
+                ty = ty - mpos[m][0] * f
+                tz = tz + rc * cq[m]
+            fdx = -jnp.sign(drg[0]) * drag_k[0] * drg[0] * drg[0]
+            fdy = -jnp.sign(drg[1]) * drag_k[1] * drg[1] * drg[1]
+            fdz = -jnp.sign(drg[2]) * drag_k[2] * drg[2] * drg[2]
+            nc = 1.0 - contact
+            tx = tx - nc * jnp.sign(avb[0]) * drag_pqr * avb[0] * avb[0]
+            ty = ty - nc * jnp.sign(avb[1]) * drag_pqr * avb[1] * avb[1]
+            tz = tz - nc * jnp.sign(avb[2]) * drag_pqr * avb[2] * avb[2]
+            fx, fy, fz = fdx, fdy, fz + fdz
+
+            # rotation matrix from quat (body->world)
+            x, y, z, w = quat
+            r00 = 1 - 2 * (y * y + z * z); r01 = 2 * (x * y - w * z); r02 = 2 * (x * z + w * y)
+            r10 = 2 * (x * y + w * z); r11 = 1 - 2 * (x * x + z * z); r12 = 2 * (y * z - w * x)
+            r20 = 2 * (x * z - w * y); r21 = 2 * (y * z + w * x); r22 = 1 - 2 * (x * x + y * y)
+
+            # ---- NEW read snapshot (pre-integration state; quadx update_state)
+            lvb = [r00 * lvel[0] + r10 * lvel[1] + r20 * lvel[2],
+                   r01 * lvel[0] + r11 * lvel[1] + r21 * lvel[2],
+                   r02 * lvel[0] + r12 * lvel[1] + r22 * lvel[2]]
+            avb_new = [r00 * avel[0] + r10 * avel[1] + r20 * avel[2],
+                       r01 * avel[0] + r11 * avel[1] + r21 * avel[2],
+                       r02 * avel[0] + r12 * avel[1] + r22 * avel[2]]
+            # euler from quat (pm.quat_to_euler)
+            roll = _atan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+            pitch = _asin(2 * (w * y - z * x))
+            yaw = _atan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+            new_view = [avb_new[0], avb_new[1], avb_new[2], roll, pitch, yaw,
+                        lvb[0], lvb[1], lvb[2], pos[0], pos[1], pos[2]]
+            new_drg = lvb  # no wind on the fast path
+
+            # ---- integrate (semi-implicit Euler, body-frame Euler eqns)
+            fwx = r00 * fx + r01 * fy + r02 * fz
+            fwy = r10 * fx + r11 * fy + r12 * fz
+            fwz = r20 * fx + r21 * fy + r22 * fz
+            lvel = [lvel[0] + dt * (fwx / mass),
+                    lvel[1] + dt * (fwy / mass),
+                    lvel[2] + dt * (fwz / mass - g)]
+            ob = [r00 * avel[0] + r10 * avel[1] + r20 * avel[2],
+                  r01 * avel[0] + r11 * avel[1] + r21 * avel[2],
+                  r02 * avel[0] + r12 * avel[1] + r22 * avel[2]]
+            gx = ob[1] * inertia[2] * ob[2] - ob[2] * inertia[1] * ob[1]
+            gy = ob[2] * inertia[0] * ob[0] - ob[0] * inertia[2] * ob[2]
+            gz = ob[0] * inertia[1] * ob[1] - ob[1] * inertia[0] * ob[0]
+            ob = [ob[0] + dt * (tx - gx) / inertia[0],
+                  ob[1] + dt * (ty - gy) / inertia[1],
+                  ob[2] + dt * (tz - gz) / inertia[2]]
+            avel = [r00 * ob[0] + r01 * ob[1] + r02 * ob[2],
+                    r10 * ob[0] + r11 * ob[1] + r12 * ob[2],
+                    r20 * ob[0] + r21 * ob[1] + r22 * ob[2]]
+            pos = [pos[0] + dt * lvel[0], pos[1] + dt * lvel[1],
+                   pos[2] + dt * lvel[2]]
+            # quaternion integration: exact exponential map
+            thx, thy, thz = avel[0] * dt, avel[1] * dt, avel[2] * dt
+            sq = thx * thx + thy * thy + thz * thz
+            small = sq < 1e-16
+            ang = jnp.sqrt(jnp.where(small, 1.0, sq))
+            half = 0.5 * ang
+            sinc = jnp.where(small, 0.5 - sq / 48.0, jnp.sin(half) / ang)
+            ch = jnp.where(small, 1.0 - sq / 8.0, jnp.cos(half))
+            dx, dy, dz, dw = thx * sinc, thy * sinc, thz * sinc, ch
+            nx = dw * x + dx * w + dy * z - dz * y
+            ny = dw * y - dx * z + dy * w + dz * x
+            nz = dw * z + dx * y - dy * x + dz * w
+            nw = dw * w - dx * x - dy * y - dz * z
+            norm = jax.lax.rsqrt(nx * nx + ny * ny + nz * nz + nw * nw)
+            quat = [nx * norm, ny * norm, nz * norm, nw * norm]
+
+            # ---- ground contact: exact box support point along -z
+            x, y, z, w = quat
+            a20 = jnp.abs(2 * (x * z - w * y))
+            a21 = jnp.abs(2 * (y * z + w * x))
+            a22 = jnp.abs(1 - 2 * (x * x + y * y))
+            extent = a20 * hx + a21 * hy + a22 * hz
+            depth = extent - pos[2]
+            hit = (depth > 0.0).astype(jnp.float32)
+            pos[2] = pos[2] + hit * jnp.maximum(depth, 0.0)
+            # inelastic vertical stop (detection-grade resolution)
+            lvel = [lvel[0], lvel[1],
+                    jnp.where((hit > 0) & (lvel[2] < 0), 0.0, lvel[2])]
+            contact = hit
+            any_contact = jnp.maximum(any_contact, hit)
+            view = new_view
+            avb = avb_new
+            drg = new_drg
+
+        # ---- pack back
+        out = [None] * ROWS
+        for i in range(3):
+            out[_POS + i] = pos[i]
+            out[_LVEL + i] = lvel[i]
+            out[_AVEL + i] = avel[i]
+            out[_AVB + i] = avb[i]
+            out[_DRG + i] = drg[i]
+            out[_PINT + i] = pint[i]
+            out[_PPRV + i] = pprv[i]
+        for i in range(4):
+            out[_QUAT + i] = quat[i]
+            out[_THR + i] = thr[i]
+            out[_PWM + i] = pwm[i]
+            out[_SP + i] = sp[i]
+        for i in range(12):
+            out[_VIEW + i] = view[i]
+        out[_CON] = contact
+        zero = jnp.zeros_like(contact)
+        out[_CON + 1] = any_contact
+        for i in range(_CON + 2, ROWS):
+            out[i] = zero
+        o_ref[:] = jnp.stack(out, axis=0)
+
+    return kernel
+
+
+def packed_step(
+    packed: Array,
+    seed: Array,
+    params: quadx.QuadXParams,
+    cfg: quadx.QuadXConfig,
+    mode: int = 0,
+    noisy: bool = True,
+    tile: int = 512,
+) -> Array:
+    """One aviary step on the packed (ROWS, N) state. Row ``_CON + 1`` of the
+    output carries the any-contact flag for the step.
+
+    ``params`` must be CONCRETE (the numeric values are baked into the kernel
+    at trace time) — pass the env's cached parameter pytree, captured by
+    closure, not a traced argument. Wrap the caller in ``jax.jit``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = packed.shape[1]
+    tile = min(tile, n)
+    assert n % tile == 0, (n, tile)
+    kernel = _build_kernel(params, cfg, mode, noisy)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((ROWS, tile), lambda i, s: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((ROWS, tile), lambda i, s: (0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        grid_spec=grid_spec,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+
+
+def step(
+    state: quadx.QuadXState,
+    params: quadx.QuadXParams,
+    cfg: quadx.QuadXConfig,
+    mode: int,
+    key: Array | None = None,
+) -> tuple[quadx.QuadXState, Array]:
+    """Drop-in for ``quadx.step`` (batched (N,) states, modes 0/8, no wind)."""
+    packed = pack_state(state)
+    seed = (
+        jax.random.randint(key, (), 0, 2**31 - 1)
+        if key is not None
+        else jnp.zeros((), jnp.int32)
+    )
+    out = packed_step(
+        packed, seed, params, cfg, mode=mode,
+        noisy=cfg.noisy_motors and key is not None,
+    )
+    new_state = unpack_state(out, state)
+    new_state = new_state.replace(
+        physics_steps=state.physics_steps + cfg.physics_control_ratio
+    )
+    return new_state, out[_CON + 1] > 0.5

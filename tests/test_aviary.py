@@ -210,3 +210,33 @@ def test_drone_drone_collision_matrix():
     m = np.asarray(state.contact_matrix)
     assert m[0, 1] and m[1, 0]
     assert np.asarray(state.contact).all()
+
+
+def test_obstacle_contact():
+    """Static obstacle boxes feed the contact flags (load_objs parity)."""
+    from pyflyt_tpu.core import camera as cam
+
+    wall = cam.Boxes(
+        centers=jnp.asarray([[1.0, 0.0, 1.0]]),
+        half_extents=jnp.asarray([[0.2, 2.0, 2.0]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[0.5, 0.5, 0.5, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(DroneSpec(drone_type="quadx", mode=7),),
+        obstacles=wall,
+    )
+    state = av.reset(jax.random.PRNGKey(0))
+    # fly into the wall
+    state = av.set_setpoint(state, 0, jnp.asarray([2.0, 0.0, 0.0, 1.0]))
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s = av.step(s)
+            return s, s.contact[0]
+        return jax.lax.scan(body, state, None, length=200)
+    state, contacts = run(state)
+    assert bool(np.asarray(contacts).any())

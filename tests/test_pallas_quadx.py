@@ -1,0 +1,115 @@
+"""Pallas QuadX kernel correctness vs the XLA path (interpret mode on CPU).
+
+The kernel (ops/pallas_quadx.py) must reproduce models/quadx.py exactly
+(noise off) — positions/velocities/quaternions/PID state to float32 roundoff.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import jax.experimental.pallas as pl
+
+from pyflyt_tpu.models import quadx
+from pyflyt_tpu.ops import pallas_quadx
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+
+def _random_state(cfg, params, n=256, seed=0):
+    key = jax.random.PRNGKey(seed)
+    pos = jax.random.uniform(key, (n, 3), minval=-2, maxval=2) + jnp.asarray(
+        [0.0, 0.0, 5.0]
+    )
+    orn = jax.random.uniform(
+        jax.random.fold_in(key, 1), (n, 3), minval=-0.4, maxval=0.4
+    )
+    st = quadx.init_state(params, cfg, pos, orn)
+    st = quadx.set_mode(st, 0, cfg)
+    st = st.replace(
+        body=st.body.replace(
+            lin_vel=jax.random.normal(jax.random.fold_in(key, 3), (n, 3)),
+            ang_vel=0.5 * jax.random.normal(jax.random.fold_in(key, 4), (n, 3)),
+        )
+    )
+    return st.replace(read=quadx.update_state(st.body, cfg))
+
+
+@pytest.mark.parametrize("mode", [0, 8])
+def test_kernel_matches_xla(mode):
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params)
+    sp = jax.random.uniform(
+        jax.random.PRNGKey(7), (256, 4), minval=-0.3, maxval=0.3
+    ).at[:, 3].set(0.4)
+    if mode == 8:
+        sp = jnp.abs(sp)
+    st = st.replace(setpoint=sp)
+
+    ref, ref_contact = quadx.step(st, params, cfg, mode)
+    out, contact = pallas_quadx.step(st, params, cfg, mode)
+
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body.quat), np.asarray(ref.body.quat), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body.lin_vel), np.asarray(ref.body.lin_vel), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body.ang_vel), np.asarray(ref.body.ang_vel), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.read.view), np.asarray(ref.read.view), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.throttle), np.asarray(ref.throttle), atol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(contact), np.asarray(ref_contact))
+
+
+def test_kernel_multi_step_trajectory():
+    """20 chained kernel steps stay glued to the XLA trajectory."""
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params, n=128, seed=3)
+    st = st.replace(
+        setpoint=jnp.tile(jnp.asarray([0.1, -0.1, 0.2, 0.42]), (128, 1))
+    )
+    ref = out = st
+    for _ in range(20):
+        ref, _ = quadx.step(ref, params, cfg, 0)
+        out, _ = pallas_quadx.step(out, params, cfg, 0)
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body.quat), np.asarray(ref.body.quat), atol=5e-4
+    )
+
+
+def test_pack_unpack_roundtrip():
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params, n=128, seed=5)
+    packed = pallas_quadx.pack_state(st)
+    assert packed.shape == (pallas_quadx.ROWS, 128)
+    st2 = pallas_quadx.unpack_state(packed, st)
+    np.testing.assert_array_equal(np.asarray(st2.body.pos), np.asarray(st.body.pos))
+    np.testing.assert_array_equal(np.asarray(st2.read.view), np.asarray(st.read.view))
+    np.testing.assert_array_equal(
+        np.asarray(st2.contact), np.asarray(st.contact)
+    )
