@@ -1,0 +1,108 @@
+"""Extended benchmark suite (documentation; the driver runs bench.py).
+
+Prints one JSON line per workload covering every major subsystem:
+vectorized env stepping per vehicle family, the multi-agent arena, and the
+fused PPO train iteration. Run on the real TPU:
+
+    timeout 1800 python bench_suite.py
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, reps=2):
+    out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_env(name, env, num_envs, steps, action):
+    from pyflyt_tpu.envs import autoreset_init, cached_autoreset_step
+
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    ars, _ = jax.jit(lambda k: autoreset_init(env, k))(keys)
+
+    @jax.jit
+    def chunk(ars):
+        def body(a, _):
+            a, out = cached_autoreset_step(env, a, action, refresh=max(1, num_envs // 64))
+            return a, out.reward
+        return jax.lax.scan(body, ars, None, length=steps)
+
+    dt = timeit(chunk, ars)
+    print(json.dumps({
+        "metric": f"{name} env-steps/s ({num_envs} envs)",
+        "value": round(num_envs * steps / dt),
+        "unit": "env-steps/s",
+    }), flush=True)
+
+
+def main():
+    from pyflyt_tpu.envs import (
+        FixedwingWaypointsEnv,
+        QuadXHoverEnv,
+        RocketLandingEnv,
+    )
+    from pyflyt_tpu.envs.ma_fixedwing_dogfight import MAFixedwingDogfightEnv
+    from pyflyt_tpu.rl import PPO, PPOConfig
+
+    bench_env(
+        "QuadX-Hover", QuadXHoverEnv(), 8192, 128,
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.36]), (8192, 1)),
+    )
+    bench_env(
+        "Fixedwing-Waypoints", FixedwingWaypointsEnv(), 4096, 64,
+        jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1)),
+    )
+    bench_env(
+        "Rocket-Landing", RocketLandingEnv(), 4096, 64,
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1)),
+    )
+
+    # multi-agent dogfight (vmapped over matches)
+    dog = MAFixedwingDogfightEnv()
+    matches = 2048
+    keys = jax.random.split(jax.random.PRNGKey(0), matches)
+    state, _ = jax.jit(jax.vmap(dog.reset))(keys)
+    actions = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (matches, 2, 1))
+
+    @jax.jit
+    def dog_chunk(state):
+        def body(s, _):
+            s, out = jax.vmap(dog.step)(s, actions)
+            return s, out.reward
+        return jax.lax.scan(body, state, None, length=32)
+
+    dt = timeit(dog_chunk, state)
+    print(json.dumps({
+        "metric": f"MA-Dogfight agent-steps/s ({matches} matches x 2 agents)",
+        "value": round(matches * 2 * 32 / dt),
+        "unit": "agent-steps/s",
+    }), flush=True)
+
+    # fused PPO train iteration
+    ppo = PPO(
+        QuadXHoverEnv(),
+        PPOConfig(num_envs=4096, rollout_steps=32, num_epochs=4,
+                  num_minibatches=16, cached_reset_refresh=64),
+    )
+    runner = ppo.init(jax.random.PRNGKey(0))
+    it = jax.jit(ppo.train_iteration)
+    dt = timeit(it, runner)
+    print(json.dumps({
+        "metric": "PPO train-steps/s (4096 envs, rollout+GAE+4x16 SGD)",
+        "value": round(ppo.config.batch_size / dt),
+        "unit": "env-steps/s",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
