@@ -101,9 +101,10 @@ class _QuadXHandle:
         body, contact = integrator.ground_contact(
             body, rb, quadx._contact_geom(self.params)
         )
+        # reference skips update_state for disarmed drones
+        # (aviary.py:487-488): the read/sensor snapshot stays frozen
         return st.replace(
             body=body,
-            read=quadx.update_state(body, self.cfg),
             contact=contact,
             physics_steps=st.physics_steps + 1,
         )
@@ -162,7 +163,6 @@ class _FixedwingHandle:
         )
         return st.replace(
             body=body,
-            read=fixedwing.update_state(body, self.params, self.cfg, st.physics_steps),
             contact=contact,
             physics_steps=st.physics_steps + 1,
         )
@@ -225,7 +225,6 @@ class _RocketHandle:
         )
         return st.replace(
             body=body,
-            read=rocket.update_state(body, self.params, self.cfg, com, st.physics_steps),
             contact=contact,
             physics_steps=st.physics_steps + 1,
         )
@@ -319,7 +318,16 @@ class Aviary:
             assert physics_hz % hz == 0, (
                 "`physics_hz` must be integer multiple of every `control_hz`"
             )
-        self.updates_per_step = physics_hz // min(control_rates)
+        # loop rates must form common multiples of each other
+        # (aviary.py:291-301) — otherwise the per-iteration gating below
+        # produces non-uniform control intervals
+        lo = min(control_rates)
+        for hz in control_rates:
+            assert hz % lo == 0, (
+                f"all `control_hz` must be integer multiples of the lowest "
+                f"({lo}); got {sorted(set(control_rates))}"
+            )
+        self.updates_per_step = physics_hz // lo
         self.control_ratios = [physics_hz // hz for hz in control_rates]
 
     @property
@@ -372,6 +380,7 @@ class Aviary:
             specs=new_specs,
             physics_hz=self.physics_hz,
             wind_fn=self.wind_fn,
+            obstacles=self.obstacles,
         )
         drones = list(state.drones)
         for i, (h, m) in enumerate(zip(new_av.handles, modes)):

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import copy
 import functools
 import os
 from typing import Any
@@ -18,6 +19,10 @@ def _load_yaml_cached(path: str) -> Any:
 
 
 def load_vehicle_yaml(name: str, model_dir: str | None = None) -> dict:
-    """Loads ``<model_dir>/<name>.yaml`` (defaults to the bundled assets)."""
+    """Loads ``<model_dir>/<name>.yaml`` (defaults to the bundled assets).
+
+    Returns a deep copy so callers can tweak nested parameter sections
+    without poisoning the process-wide cache.
+    """
     directory = model_dir or os.path.join(ASSET_DIR, "vehicles")
-    return dict(_load_yaml_cached(os.path.join(directory, f"{name}.yaml")))
+    return copy.deepcopy(_load_yaml_cached(os.path.join(directory, f"{name}.yaml")))

@@ -87,8 +87,11 @@ def autoreset_step(
         return jnp.where(mask, new, old)
 
     state = jax.tree.map(pick, reset_state, state)
+    terminal_obs = out.obs  # pre-reset obs (SB3's "terminal_observation")
     obs = jax.tree.map(pick, reset_obs, out.obs)
-    return state, out.replace(obs=obs)
+    return state, out.replace(
+        obs=obs, info={**out.info, "terminal_observation": terminal_obs}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +163,7 @@ def cached_autoreset_step(
         return jnp.where(mask, new, old)
 
     state = jax.tree.map(pick, fresh, state)
+    terminal_obs = out.obs  # pre-reset obs (SB3's "terminal_observation")
     obs = jax.tree.map(pick, ars.cache_obs, out.obs)
 
     # round-robin cache refresh
@@ -183,4 +187,6 @@ def cached_autoreset_step(
         step_idx=ars.step_idx + 1,
         key=key,
     )
-    return ars, out.replace(obs=obs)
+    return ars, out.replace(
+        obs=obs, info={**out.info, "terminal_observation": terminal_obs}
+    )

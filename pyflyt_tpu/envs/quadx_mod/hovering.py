@@ -296,7 +296,9 @@ class QuadXModHoveringEnv:
         state16 = self._compute_state16(drone, state.target_pos, state.target_psi)
 
         # term/trunc/reward (quadx_base_env.py:327-344 + hovering:178-195)
-        truncation = state.step_count + 1 >= self.max_steps
+        # reference checks BEFORE the end-of-step increment
+        # (quadx_base_env.py:329-332): truncation fires on call max_steps+1
+        truncation = state.step_count >= self.max_steps
         collision = contact
         err_dist = jnp.linalg.norm(state16[..., 12:15], axis=-1)
         err_vel = jnp.linalg.norm(state16[..., 3:6], axis=-1)

@@ -367,7 +367,8 @@ class QuadXTrajectoryFollowingFastEnv:
         st = state.replace(drone=drone, key=key, action=action)
         st, prev_reached = self._update_tracking(st)
 
-        truncation = st.step_count + 1 >= self.max_steps
+        # pre-increment check (reference quadx_base_env.py:344-346)
+        truncation = st.step_count >= self.max_steps
         collision = contact
 
         # reward (quadx_trajectory_following_env.py:304-326)

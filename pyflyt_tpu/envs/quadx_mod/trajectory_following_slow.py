@@ -223,7 +223,8 @@ class QuadXTrajectoryFollowingSlowEnv(QuadXTrajectoryFollowingFastEnv):
             )
         state16 = self._compute_state16(drone, target_pos, target_psi)
 
-        truncation = state.step_count + 1 >= self.max_steps
+        # pre-increment check (reference quadx_base_env.py:344-346)
+        truncation = state.step_count >= self.max_steps
         collision = contact
 
         # reward (:344-354)

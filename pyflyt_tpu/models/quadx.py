@@ -367,7 +367,11 @@ def update_control(
     pids = state.pids
     ned = cfg.orn_conv == "NED_FRD"
 
-    if mode in (-1, 8):
+    if mode == -1:
+        # raw PWM passthrough: the reference returns BEFORE the saturation
+        # block for mode -1 (quadx.py:446-448), so no rescale and no clamp
+        return state.replace(pwm=sp, pids=pids)
+    if mode == 8:
         pwm = sp
     elif mode == 9:
         pwm = jnp.einsum("ij,...j->...i", params.motor_map, sp)

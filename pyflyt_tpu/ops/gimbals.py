@@ -76,6 +76,10 @@ def compute_rotation(
     Returns:
         (new_state, rotation) with rotation (..., n, 3, 3).
     """
+    # the reference asserts cmd ∈ [-1, 1] (gimbals.py:147-149); the
+    # jit-compatible equivalent is a clip, so out-of-range commands cannot
+    # rotate the thrust beyond the physical gimbal range
+    cmd = jnp.clip(cmd, -1.0, 1.0)
     state = gimbal_state + (physics_period / params.tau[..., None]) * (
         cmd - gimbal_state
     )

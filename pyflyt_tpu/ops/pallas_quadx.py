@@ -112,6 +112,10 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                   noisy: bool):
     """Bakes the (concrete) parameters into a kernel body."""
     assert mode in (0, 8), "pallas fast path supports modes 0 and 8"
+    assert cfg.orn_conv == "ENU_FLU", (
+        "pallas fast path is ENU_FLU-only (the PID measurement, z clip and "
+        "view rows hardcode ENU semantics)"
+    )
     p = lambda x: np.asarray(x, dtype=np.float64)
     kp = p(params.pid_ang_vel.kp)
     ki = p(params.pid_ang_vel.ki)

@@ -174,12 +174,23 @@ class PPO:
             clipped = jnp.clip(action, self.action_low, self.action_high)
             env_state, out = self._env_step(env_state, clipped)
             done = out.termination | out.truncation
+            # time-limit bootstrap (SB3 semantics): truncated-but-not-
+            # terminated steps get γ·V(terminal_obs) folded into the reward,
+            # using the pre-reset observation the autoreset paths surface
+            reward = out.reward
+            term_obs = out.info.get("terminal_observation")
+            if term_obs is not None:
+                _, _, v_term = self.network.apply(
+                    runner.params, _flat_obs(term_obs)
+                )
+                trunc_only = out.truncation & ~out.termination
+                reward = reward + self.config.gamma * v_term * trunc_only
             t = Transition(
                 obs=obs,
                 action=action,
                 log_prob=log_prob,
                 value=value,
-                reward=out.reward,
+                reward=reward,
                 done=done,
             )
             return (env_state, _flat_obs(out.obs), key), t

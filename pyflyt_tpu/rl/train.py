@@ -52,6 +52,7 @@ def train(
         runner = ppo.shard_runner(runner, mesh)
 
     train_it = jax.jit(ppo.train_iteration, donate_argnums=(0,))
+    eval_fn = jax.jit(ppo.evaluate, static_argnums=2)
 
     steps_per_update = ppo.config.batch_size
     num_updates = max(1, tcfg.total_timesteps // steps_per_update)
@@ -71,9 +72,7 @@ def train(
             if (update + 1) % tcfg.eval_every_updates == 0 or update == num_updates - 1:
                 jax.block_until_ready(runner.params)
                 eval_key = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), update)
-                stats = jax.jit(ppo.evaluate, static_argnums=2)(
-                    runner.params, eval_key, tcfg.eval_episodes
-                )
+                stats = eval_fn(runner.params, eval_key, tcfg.eval_episodes)
                 stats = {k: float(v) for k, v in stats.items()}
                 elapsed = time.perf_counter() - t_start
                 row = {

@@ -169,11 +169,17 @@ def test_set_armed_ballistic():
             return av.step(s), None
         return jax.lax.scan(body, state, None, length=60)[0]
 
+    pre_view = np.asarray(av.state(state, 0))
     state = run(state)  # 0.5 s
-    view = np.asarray(av.state(state, 0))
-    # free fall: z ≈ 10 − ½·9.81·0.25 ≈ 8.77, no controller fighting it
-    np.testing.assert_allclose(view[3, 2], 10.0 - 0.5 * 9.81 * 0.25, atol=0.05)
-    np.testing.assert_allclose(view[2, 2], -9.81 * 0.5, atol=0.1)
+    # the BODY free-falls: z ≈ 10 − ½·9.81·0.25 ≈ 8.77, nothing fighting it
+    body = state.drones[0].body
+    np.testing.assert_allclose(
+        float(body.pos[2]), 10.0 - 0.5 * 9.81 * 0.25, atol=0.05
+    )
+    np.testing.assert_allclose(float(body.lin_vel[2]), -9.81 * 0.5, atol=0.1)
+    # ...but the sensor view stays FROZEN at the disarm-time reading (the
+    # reference skips update_state for disarmed drones, aviary.py:487-488)
+    np.testing.assert_array_equal(np.asarray(av.state(state, 0)), pre_view)
 
 
 def test_wind_field_hook():
