@@ -334,6 +334,24 @@ class Aviary:
     def num_drones(self) -> int:
         return len(self.specs)
 
+    def describe(self) -> str:
+        """Human-readable fleet dump (the reference's ``print_all_bodies`` /
+        ``get_joint_info`` debug helpers — aviary.py:412-420,
+        base_drone.py:287-300)."""
+        lines = [
+            f"Aviary: {self.num_drones} drone(s), physics {self.physics_hz} Hz,"
+            f" updates_per_step {self.updates_per_step},"
+            f" wind={'yes' if self.wind_fn is not None else 'no'},"
+            f" obstacles={0 if self.obstacles is None else self.obstacles.centers.shape[0]}"
+        ]
+        for i, (s, h) in enumerate(zip(self.specs, self.handles)):
+            lines.append(
+                f"  [{i}] {s.drone_type} mode={s.mode} control={s.control_hz}Hz"
+                f" spawn={self.start_pos[i].tolist()}"
+                f" r_col={h.collision_radius}"
+            )
+        return "\n".join(lines)
+
     # ----- construction / reset -------------------------------------------
     def reset(self, key: Array) -> AviaryState:
         drones = tuple(

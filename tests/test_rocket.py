@@ -227,3 +227,32 @@ def test_vmap_batch():
     state, out = jax.jit(jax.vmap(ENV.step))(state, act)
     assert out.reward.shape == (4,)
     assert not np.isnan(np.asarray(out.obs)).any()
+
+
+def test_landing_reward_terms():
+    """Loiter penalty −5, pad-offset 2/(d+0.1), xy-progress ×100, spin/tilt
+    penalties (rocket_landing_env.py:193-219) — checked against a hand
+    recomputation over one agent step with zero thrust."""
+    env = RocketLandingEnv()
+    state, _ = env.reset(jax.random.PRNGKey(11))
+    step = jax.jit(env.step)
+    st2, out = step(state, jnp.zeros(7))
+    if bool(out.termination):
+        return  # crashed already; nothing to decompose
+    # replay the final inner step's terms
+    view = np.asarray(st2.drone.read.view)
+    dist_xy = np.linalg.norm(np.asarray(st2.distance[:2]))
+    prev_xy = np.linalg.norm(np.asarray(st2.prev_distance[:2]))
+    per_step = (
+        -5.0
+        + 2.0 / (dist_xy + 0.1)
+        + 100.0 * (prev_xy - dist_xy)
+        - abs(view[0, 2])
+        - 3.0 * np.linalg.norm(view[1, :2])
+    )
+    # the reward is a sum over 3 inner steps of terms of this magnitude;
+    # check it's within the plausible envelope of 3 such terms
+    assert -3 * 20.0 < float(out.reward) < 3 * 25.0
+    # and that the last inner step's recomputation is close to reward/3 when
+    # dynamics vary slowly (free fall, high altitude)
+    np.testing.assert_allclose(float(out.reward) / 3.0, per_step, atol=3.0)
