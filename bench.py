@@ -25,8 +25,8 @@ TARGET_ENV_STEPS_PER_S = 10_000_000.0  # BASELINE.json north star
 def main():
     env = QuadXHoverEnv()
     keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
-    # cached auto-reset: reset work amortized round-robin instead of
-    # recomputed for the whole batch each step (envs/base.py)
+    # cached auto-reset: the reset work runs once every `refresh` steps
+    # instead of for the whole batch every step (envs/base.py)
     state, _ = jax.jit(lambda k: autoreset_init(env, k))(keys)
 
     hover_t = float(jnp.sqrt(0.027 * 9.81 / 2.0))
@@ -40,7 +40,7 @@ def main():
             action = jnp.asarray([0.0, 0.0, 0.0, hover_t]) + 0.1 * jax.random.normal(
                 sub, (NUM_ENVS, 4)
             )
-            st, out = cached_autoreset_step(env, st, action, refresh=128)
+            st, out = cached_autoreset_step(env, st, action, refresh=64)
             return (st, key), out.reward
 
         (state, key), rewards = jax.lax.scan(

@@ -33,7 +33,7 @@ def bench_env(name, env, num_envs, steps, action):
     @jax.jit
     def chunk(ars):
         def body(a, _):
-            a, out = cached_autoreset_step(env, a, action, refresh=max(1, num_envs // 64))
+            a, out = cached_autoreset_step(env, a, action, refresh=64)
             return a, out.reward
         return jax.lax.scan(body, ars, None, length=steps)
 

@@ -10,13 +10,15 @@ flight-dynamics engine designed for TPU:
 - Gymnasium / PettingZoo compatibility shims wrap the functional core
 
 Subpackages:
-    core      math, rigid-body integrator, state pytrees, wind fields
-    ops       physics component operators (motors, aero surfaces, boosters, ...)
+    core      math, rigid-body integrator, Aviary, camera, wind fields
+    ops       physics component operators (motors, aero surfaces, boosters,
+              gimbals, PID, the Pallas fast-path kernel)
     models    vehicle dynamics + control cascades (QuadX, Fixedwing, Rocket)
-    envs      functional task environments + Gymnasium wrappers
-    pz        multi-agent (parallel) environments + PettingZoo wrappers
-    rl        PPO training stack (pure JAX)
+    envs      functional task environments + Gymnasium/PettingZoo wrappers
+              (incl. multi-agent and the fork's quadx_mod envs)
+    rl        PPO training stack (pure JAX) + rl_training CLIs
     parallel  device-mesh sharding utilities
+    utils     loggers, results comparison, telemetry, NaN guards
 """
 
 __version__ = "0.1.0"

@@ -104,26 +104,31 @@ class AutoResetState:
     """Env batch + a per-env cache of pre-computed reset states.
 
     Instead of recomputing ``env.reset`` for every env on every step, the
-    cache is refreshed round-robin (``refresh`` envs per step) and finished
-    envs substitute their cached entry. Each cached reset was generated from
-    a fresh PRNG key drawn independently of the episode outcome, so the reset
-    distribution is identical to the exact path; the only deviation is that
-    an env finishing twice within one refresh cycle (num_envs/refresh steps)
+    whole cache is refreshed once every ``refresh_period`` steps (under a
+    ``lax.cond``, so the reset work executes on 1/period of the steps) and
+    finished envs substitute their cached entry. Each cached reset was
+    generated from a fresh PRNG key drawn independently of the episode
+    outcome, so the reset distribution is identical to the exact path; the
+    only deviation is that an env finishing twice within one refresh period
     reuses the same *initial* state — its PRNG key is re-derived on
     consumption, so the subsequent trajectory still diverges.
+
+    The periodic-full-refresh structure is deliberate for multi-chip meshes:
+    refreshing sharded cache entries at a dynamic round-robin offset makes
+    XLA all-gather the cache across devices every step; the cond'd full
+    refresh keeps every collective out of the rollout (each shard resets its
+    own envs — see docs/artifacts/mesh_collectives.json).
     """
 
     env_state: Any
     cache_state: Any
     cache_obs: Any
-    refresh_pos: Array  # int32: next cache slot to refresh
     step_idx: Array  # int32
     key: Array  # PRNG stream for cache refreshes
 
 
 def autoreset_init(env: FunctionalEnv, keys: Array) -> tuple[AutoResetState, Any]:
     """Resets the batch and fills the reset cache."""
-    num_envs = keys.shape[0]
     state, obs = jax.vmap(env.reset)(keys)
     cache_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
     cache_state, cache_obs = jax.vmap(env.reset)(cache_keys)
@@ -132,7 +137,6 @@ def autoreset_init(env: FunctionalEnv, keys: Array) -> tuple[AutoResetState, Any
             env_state=state,
             cache_state=cache_state,
             cache_obs=cache_obs,
-            refresh_pos=jnp.zeros((), jnp.int32),
             step_idx=jnp.zeros((), jnp.int32),
             key=jax.random.fold_in(keys[0], 0xCACE),
         ),
@@ -145,8 +149,9 @@ def cached_autoreset_step(
 ) -> tuple[AutoResetState, StepOut]:
     """Vectorized step with cached auto-reset (see :class:`AutoResetState`).
 
-    ``refresh`` cache slots are regenerated per step — the only per-step
-    reset work, amortizing reset cost by ``num_envs/refresh``.
+    ``refresh`` is the refresh PERIOD: the full cache regenerates every
+    ``refresh`` steps inside a ``lax.cond`` — amortized reset cost is
+    ``1/refresh`` of the exact path, with zero cross-device collectives.
     """
     state, out = jax.vmap(env.step)(ars.env_state, action)
     done = out.termination | out.truncation
@@ -166,24 +171,25 @@ def cached_autoreset_step(
     terminal_obs = out.obs  # pre-reset obs (SB3's "terminal_observation")
     obs = jax.tree.map(pick, ars.cache_obs, out.obs)
 
-    # round-robin cache refresh
+    # periodic full cache refresh (collective-free on an env-sharded mesh)
     num_envs = done.shape[0]
     key, sub = jax.random.split(ars.key)
-    new_keys = jax.random.split(sub, refresh)
-    new_state, new_obs = jax.vmap(env.reset)(new_keys)
-    pos = ars.refresh_pos
 
-    def write(cache, new):
-        return jax.lax.dynamic_update_slice_in_dim(cache, new, pos, axis=0)
+    def do_refresh(_):
+        new_keys = jax.random.split(sub, num_envs)
+        return jax.vmap(env.reset)(new_keys)
 
-    cache_state = jax.tree.map(write, ars.cache_state, new_state)
-    cache_obs = jax.tree.map(write, ars.cache_obs, new_obs)
+    def keep(_):
+        return ars.cache_state, ars.cache_obs
+
+    cache_state, cache_obs = jax.lax.cond(
+        ars.step_idx % refresh == refresh - 1, do_refresh, keep, None
+    )
 
     ars = AutoResetState(
         env_state=state,
         cache_state=cache_state,
         cache_obs=cache_obs,
-        refresh_pos=(pos + refresh) % num_envs,
         step_idx=ars.step_idx + 1,
         key=key,
     )

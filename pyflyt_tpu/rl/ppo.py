@@ -52,7 +52,7 @@ class PPOConfig:
     vf_sizes: tuple = ()
     # amortized auto-reset (envs/base.py AutoResetState): ~3× faster rollouts
     # for envs with reset-time stabilization; 0 disables (exact per-step
-    # resets). Value = cache slots refreshed per step.
+    # resets). Value = the cache refresh PERIOD in steps.
     cached_reset_refresh: int = 0
 
     @property
