@@ -46,11 +46,11 @@ def _make_ppo(args, env):
     return PPO(
         env,
         PPOConfig(
-            num_envs=args.num_envs,
-            rollout_steps=args.rollout_steps,
-            num_epochs=args.n_epochs,
-            num_minibatches=args.num_minibatches,
-            learning_rate=args.learning_rate,
+            num_envs=getattr(args, "num_envs", 16),
+            rollout_steps=getattr(args, "rollout_steps", 32),
+            num_epochs=getattr(args, "n_epochs", 15),
+            num_minibatches=getattr(args, "num_minibatches", 32),
+            learning_rate=getattr(args, "learning_rate", 3e-4),
             feature_sizes=(256, 256),
             # SB3 net_arch pi/vf=[64,64,32,32] heads
             pi_sizes=(64, 64, 32, 32),
@@ -92,6 +92,42 @@ def cmd_eval(args):
     )
     print(json.dumps({k: float(v) for k, v in stats.items()}))
 
+    if args.log_dir:
+        # one logged deterministic episode with the reference's CSV/plot
+        # logger (rl_training/trajectory_following_*/evaluation.py)
+        from pyflyt_tpu.utils.trajectory_logger import (
+            TrajectoryFastLogger,
+            TrajectorySlowLogger,
+        )
+
+        logger = (
+            TrajectoryFastLogger(args.log_dir)
+            if args.variant == "fast"
+            else TrajectorySlowLogger(args.log_dir)
+        )
+        state, obs = env.reset(jax.random.PRNGKey(args.seed))
+        step = jax.jit(env.step)
+        i = 0
+        while True:
+            action = ppo.act_deterministic(runner.params, obs[None, :])[0]
+            if args.variant == "fast":
+                raw = np.asarray(state.state19)
+            else:
+                raw = np.asarray(state.state16)
+                tgt = np.asarray(state.target_pos)
+                psi = float(state.target_psi)
+            state, out = step(state, action)
+            pwm = np.asarray(state.drone.pwm)
+            if args.variant == "fast":
+                logger.add(i, raw, pwm, float(out.reward))
+            else:
+                logger.add(i, tgt, psi, raw, pwm, float(out.reward))
+            i += 1
+            obs = out.obs
+            if bool(out.termination) or bool(out.truncation):
+                break
+        logger.log_episode()
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
@@ -124,6 +160,7 @@ def main(argv=None):
     add_common(e)
     e.add_argument("--checkpoint", type=str, required=True)
     e.add_argument("--episodes", type=int, default=16)
+    e.add_argument("--log_dir", type=str, default=None)
     e.set_defaults(fn=cmd_eval)
 
     args = parser.parse_args(argv)
