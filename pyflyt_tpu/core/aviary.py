@@ -402,8 +402,17 @@ class Aviary:
         )
         drones = list(state.drones)
         for i, (h, m) in enumerate(zip(new_av.handles, modes)):
-            if new_av.specs[i].drone_type == "quadx":
+            kind = new_av.specs[i].drone_type
+            if kind == "quadx":
                 drones[i] = quadx.set_mode(drones[i], m, h.cfg)
+            elif kind == "fixedwing":
+                # fixedwing.set_mode zeroes the setpoint at the mode's size
+                # (fixedwing.py:203-224)
+                drones[i] = drones[i].replace(
+                    setpoint=jnp.zeros(6 if m == -1 else 4, h.cfg.dtype)
+                )
+            elif kind == "rocket":
+                assert m == 0, "rocket supports flight mode 0 only"
         return new_av, state.replace(drones=tuple(drones))
 
     # ----- readouts ---------------------------------------------------------

@@ -110,8 +110,15 @@ def render(
     dirs: Array,
     boxes: Boxes | None = None,
     ground_z: float = 0.0,
+    forward: Array | None = None,
 ) -> tuple[Array, Array, Array]:
-    """Renders (rgba uint8 (H, W, 4), depth float (H, W), seg int32 (H, W))."""
+    """Renders (rgba uint8 (H, W, 4), depth float (H, W), seg int32 (H, W)).
+
+    ``forward``: optional (3,) view axis — when given, the depth buffer uses
+    eye-space z (``t·(dir·forward)``) like an OpenGL rasterizer, so a flat
+    frontal wall has constant depth; without it, depth falls back to ray
+    length (larger toward the image edges).
+    """
     h, w = dirs.shape[:2]
     t_best = jnp.full((h, w), jnp.inf)
     rgba = jnp.broadcast_to(
@@ -146,9 +153,13 @@ def render(
         rgba = jnp.where(better[..., None], boxes.colors[idx], rgba)
         seg = jnp.where(better, idx + 1, seg)
 
-    # OpenGL-style nonlinear z-buffer (what PyBullet's depthImg contains)
-    t_clip = jnp.clip(t_best, NEAR, FAR)
-    depth = (FAR / (FAR - NEAR)) * (1.0 - NEAR / t_clip)
+    # OpenGL-style nonlinear z-buffer (what PyBullet's depthImg contains),
+    # over eye-space z when the view axis is known
+    z_best = t_best
+    if forward is not None:
+        z_best = t_best * jnp.einsum("hwi,i->hw", dirs, forward)
+    z_clip = jnp.clip(z_best, NEAR, FAR)
+    depth = (FAR / (FAR - NEAR)) * (1.0 - NEAR / z_clip)
     depth = jnp.where(jnp.isinf(t_best), 1.0, depth)
 
     rgba_u8 = (jnp.clip(rgba, 0.0, 1.0) * 255.0).astype(jnp.uint8)
@@ -169,7 +180,11 @@ def capture_image(
         position, euler, resolution, fov_degrees, camera_angle_degrees,
         use_gimbal,
     )
-    return render(origin, dirs, boxes)
+    # view axis = central ray (normalized forward after gimbal/FPV tilt)
+    h, w = dirs.shape[:2]
+    forward = dirs[h // 2, w // 2]
+    forward = forward / jnp.linalg.norm(forward)
+    return render(origin, dirs, boxes, forward=forward)
 
 
 def gate_boxes(

@@ -82,13 +82,9 @@ def autoreset_step(
     reset_keys = jax.vmap(lambda s: jax.random.fold_in(s.key, 1))(state)
     reset_state, reset_obs = jax.vmap(env.reset)(reset_keys)
 
-    def pick(new, old):
-        mask = done.reshape(done.shape + (1,) * (jnp.ndim(old) - done.ndim))
-        return jnp.where(mask, new, old)
-
-    state = jax.tree.map(pick, reset_state, state)
+    state = tree_select(done, reset_state, state)
     terminal_obs = out.obs  # pre-reset obs (SB3's "terminal_observation")
-    obs = jax.tree.map(pick, reset_obs, out.obs)
+    obs = tree_select(done, reset_obs, out.obs)
     return state, out.replace(
         obs=obs, info={**out.info, "terminal_observation": terminal_obs}
     )
@@ -163,13 +159,9 @@ def cached_autoreset_step(
         key=jax.vmap(lambda k: jax.random.fold_in(k, ars.step_idx))(fresh.key)
     )
 
-    def pick(new, old):
-        mask = done.reshape(done.shape + (1,) * (jnp.ndim(old) - done.ndim))
-        return jnp.where(mask, new, old)
-
-    state = jax.tree.map(pick, fresh, state)
+    state = tree_select(done, fresh, state)
     terminal_obs = out.obs  # pre-reset obs (SB3's "terminal_observation")
-    obs = jax.tree.map(pick, ars.cache_obs, out.obs)
+    obs = tree_select(done, ars.cache_obs, out.obs)
 
     # periodic full cache refresh (collective-free on an env-sharded mesh)
     num_envs = done.shape[0]

@@ -54,6 +54,8 @@ class DogfightState:
     current_angles: Array  # (2,)
     current_offsets: Array  # (2,)
     current_distance: Array  # scalar
+    prev_angles: Array  # (2,) — one aviary step older (reward memo lag)
+    prev_distance: Array  # scalar
     observations: Array  # (2, 30) cache (recomputed per aviary step)
 
 
@@ -219,6 +221,8 @@ class MAFixedwingDogfightEnv:
             current_angles=angles,
             current_offsets=offsets,
             current_distance=distance,
+            prev_angles=state.current_angles,
+            prev_distance=state.current_distance,
             observations=obs,
         )
 
@@ -251,6 +255,8 @@ class MAFixedwingDogfightEnv:
             current_angles=jnp.zeros((2,), dtype),
             current_offsets=jnp.zeros((2,), dtype),
             current_distance=jnp.zeros((), dtype),
+            prev_angles=jnp.zeros((2,), dtype),
+            prev_distance=jnp.zeros((), dtype),
             observations=jnp.zeros((2, self.obs_size), dtype),
         )
         state = self._agent_states(state)
@@ -277,8 +283,22 @@ class MAFixedwingDogfightEnv:
             drones, contact = fixedwing.step(st.drones, self.params, self.cfg, 0, sub)
             st = st.replace(drones=drones, key=key)
 
-            prev_dist = st.current_distance
-            prev_angles = st.current_angles
+            # engagement rewards FIRST, from the PREVIOUS aviary step's
+            # state: the reference's reward memo (last_rew_time) fires before
+            # its state memo (last_obs_time), so every engagement reward for
+            # step t is computed from step t-1's hits/angles/distance
+            # (ma_fixedwing_dogfight_env.py:306-313 before :259-263)
+            rew = jnp.zeros((2,), self.cfg.dtype)
+            if not self.sparse_reward:
+                in_range = st.current_distance < self.lethal_distance  # scalar
+                chasing = jnp.abs(st.current_angles) < jnp.pi / 2.0  # (2,)
+                closing = jnp.clip(st.prev_distance - st.current_distance, 0.0, None)
+                rew = rew + closing * (~in_range & chasing) * 1.0
+                rew = rew + (st.prev_angles - st.current_angles) * in_range * 10.0
+                rew = rew + 3.0 / (st.current_angles + 0.1) * in_range
+            rew = rew + 30.0 * st.current_hits
+            rew = rew - 20.0 * st.current_hits[::-1]
+
             st = self._agent_states(st)
 
             # collisions: ground (model) | mutual proximity
@@ -290,18 +310,6 @@ class MAFixedwingDogfightEnv:
             collision = contact | mutual
             lin_pos = drones.read.view[..., 3, :]
             oob = jnp.linalg.norm(lin_pos, axis=-1) > self.flight_dome_size
-
-            # engagement rewards (ma_fixedwing_dogfight_env.py:265-295)
-            rew = jnp.zeros((2,), self.cfg.dtype)
-            if not self.sparse_reward:
-                in_range = st.current_distance < self.lethal_distance  # scalar
-                chasing = jnp.abs(st.current_angles) < jnp.pi / 2.0  # (2,)
-                closing = jnp.clip(prev_dist - st.current_distance, 0.0, None)
-                rew = rew + closing * (~in_range & chasing) * 1.0
-                rew = rew + (prev_angles - st.current_angles) * in_range * 10.0
-                rew = rew + 3.0 / (st.current_angles + 0.1) * in_range
-            rew = rew + 30.0 * st.current_hits
-            rew = rew - 20.0 * st.current_hits[::-1]
             rew = rew - 3000.0 * oob - 3000.0 * collision
 
             term = term | collision | oob | other_dead

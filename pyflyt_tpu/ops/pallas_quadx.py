@@ -116,6 +116,10 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
         "pallas fast path is ENU_FLU-only (the PID measurement, z clip and "
         "view rows hardcode ENU semantics)"
     )
+    assert np.allclose(np.asarray(params.motor.thrust_unit), [0.0, 0.0, 1.0]), (
+        "pallas fast path assumes +z thrust for every motor (the wrench is "
+        "hand-expanded for vertical rotors); use quadx.step for tilted rotors"
+    )
     p = lambda x: np.asarray(x, dtype=np.float64)
     kp = p(params.pid_ang_vel.kp)
     ki = p(params.pid_ang_vel.ki)

@@ -379,7 +379,9 @@ class PPO:
             jnp.zeros(num_episodes),
             jnp.zeros(num_episodes),
         )
-        max_len = getattr(self.env, "max_steps", 400) + 1
+        # envs first report time-limit truncation on call max_steps+2 (the
+        # reference's post-increment counter), so the horizon must cover it
+        max_len = getattr(self.env, "max_steps", 400) + 2
         (_, _, done, ep_rew, ep_len), _ = jax.lax.scan(
             body, init, None, length=max_len
         )
