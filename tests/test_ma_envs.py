@@ -193,3 +193,12 @@ def test_pz_dogfight_runs_episode():
     assert steps > 0
     for a, i in info.items():
         assert "healths" in i and np.asarray(i["healths"]).shape == (2,)
+
+
+def test_pz_dogfight_api_conformance():
+    """parallel_api_test over the dogfight too (the reference gates both MA
+    envs — tests/test_pz_envs.py:56-69)."""
+    from pettingzoo.test import parallel_api_test
+
+    env = make_ma_fixedwing_dogfight(max_duration_seconds=2.0)
+    parallel_api_test(env, num_cycles=40)
