@@ -141,15 +141,26 @@ def autoreset_init(env: FunctionalEnv, keys: Array) -> tuple[AutoResetState, Any
 
 
 def cached_autoreset_step(
-    env: FunctionalEnv, ars: AutoResetState, action: Array, refresh: int = 64
+    env: FunctionalEnv,
+    ars: AutoResetState,
+    action: Array,
+    refresh: int = 64,
+    step_fn=None,
 ) -> tuple[AutoResetState, StepOut]:
     """Vectorized step with cached auto-reset (see :class:`AutoResetState`).
 
     ``refresh`` is the refresh PERIOD: the full cache regenerates every
     ``refresh`` steps inside a ``lax.cond`` — amortized reset cost is
     ``1/refresh`` of the exact path, with zero cross-device collectives.
+
+    ``step_fn``: optional batched ``(states, actions) -> (states, StepOut)``
+    override. Defaults to ``vmap(env.step)``; batch-polymorphic envs (e.g.
+    the QuadX envs' pallas fast path) can pass ``env.step`` directly so the
+    whole batch enters one kernel.
     """
-    state, out = jax.vmap(env.step)(ars.env_state, action)
+    if step_fn is None:
+        step_fn = jax.vmap(env.step)
+    state, out = step_fn(ars.env_state, action)
     done = out.termination | out.truncation
 
     # substitute cached resets for finished envs (key re-derived so repeat

@@ -60,6 +60,10 @@ class QuadXBaseEnv:
     noisy_motors: bool = True
     orn_conv: str = "ENU_FLU"
     drone_model: str = "cf2x"
+    # route the aviary step through the fused Pallas TPU kernel
+    # (ops/pallas_quadx.py — modes 0/8, ENU, detection-grade contact; the
+    # motor-noise PRNG stream differs from the XLA path, physics identical)
+    use_pallas: bool = False
 
     def __post_init__(self):
         if CONTROL_HZ % self.agent_hz != 0:
@@ -189,16 +193,30 @@ class QuadXBaseEnv:
         action = jnp.asarray(action, dtype=self.cfg.dtype)
         state = state.replace(
             action=action,
-            reward=jnp.asarray(-0.1, dtype=self.cfg.dtype),
+            # full_like keeps base_step batch-polymorphic: ``step`` works on a
+            # single instance under vmap OR directly on a batched state (the
+            # pallas fast path needs the whole batch in one kernel call)
+            reward=jnp.full_like(state.reward, -0.1),
             drone=state.drone.replace(setpoint=action),
         )
 
         def inner(st: QuadXEnvState, _):
             done_before = st.termination | st.truncation
-            key, sub = jax.random.split(st.key)
-            drone, contact = quadx.step(
-                st.drone, self.params, self.cfg, self.flight_mode, sub
-            )
+            if st.key.ndim == 2:  # direct-batched call: (N, 2) keys
+                both = jax.vmap(jax.random.split)(st.key)
+                key, sub = both[:, 0], both[0, 1]
+            else:
+                key, sub = jax.random.split(st.key)
+            if self.use_pallas:
+                from pyflyt_tpu.ops import pallas_quadx
+
+                drone, contact = pallas_quadx.step(
+                    st.drone, self.params, self.cfg, self.flight_mode, sub
+                )
+            else:
+                drone, contact = quadx.step(
+                    st.drone, self.params, self.cfg, self.flight_mode, sub
+                )
             new_st = task_update(st.replace(drone=drone, key=key), contact)
             # early-exit semantics: freeze everything once done
             st = jax.tree.map(

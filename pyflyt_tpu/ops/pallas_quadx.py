@@ -23,10 +23,12 @@ bitwise-close agreement).
 
 Measured on one v5e chip (8192 envs, 256-step scan, noise on):
 ``packed_step`` 80.2M aviary-steps/s vs 64.8M for the isolated XLA
-``quadx.step`` — a 1.24× stepping speedup. The full env pipeline (obs/reward
-+ cached auto-reset) already reaches a similar per-aviary-step rate through
-XLA fusion, so this kernel is an *experimental* fast path (modes 0/8, no
-wind, detection-grade contact), not the default.
+``quadx.step`` — a 1.24× stepping speedup. End-to-end through the hover env
+(``QuadXHoverEnv(use_pallas=True)`` with per-step pack/unpack) it reaches
+27.6M env-steps/s vs 27.0M for the default vmapped XLA pipeline — i.e. XLA's
+whole-program fusion already runs the env at the kernel's speed, so this
+stays an *experimental* opt-in fast path (modes 0/8, no wind,
+detection-grade contact), not the default.
 """
 
 from __future__ import annotations
@@ -442,6 +444,8 @@ def step(
 ) -> tuple[quadx.QuadXState, Array]:
     """Drop-in for ``quadx.step`` (batched (N,) states, modes 0/8, no wind)."""
     packed = pack_state(state)
+    if key is not None and key.ndim == 2:
+        key = key[0]
     seed = (
         jax.random.randint(key, (), 0, 2**31 - 1)
         if key is not None
