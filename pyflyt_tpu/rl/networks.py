@@ -46,6 +46,7 @@ class ActorCritic(nn.Module):
     feature_sizes: Sequence[int] = (256, 256)
     pi_sizes: Sequence[int] = ()
     vf_sizes: Sequence[int] = ()
+    init_log_std: float = 0.0
 
     @nn.compact
     def __call__(self, obs: Array) -> tuple[Array, Array, Array]:
@@ -57,7 +58,9 @@ class ActorCritic(nn.Module):
             name="pi_head",
         )(pi)
         log_std = self.param(
-            "log_std", nn.initializers.zeros, (self.action_dim,)
+            "log_std",
+            nn.initializers.constant(self.init_log_std),
+            (self.action_dim,),
         )
 
         vf = MLP((*self.feature_sizes, *self.vf_sizes), name="vf_trunk")(obs)

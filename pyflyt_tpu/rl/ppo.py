@@ -50,6 +50,10 @@ class PPOConfig:
     feature_sizes: tuple = (256, 256)  # custom_feature_extractor.py:18-23
     pi_sizes: tuple = ()
     vf_sizes: tuple = ()
+    # initial Gaussian log-std (SB3 default 0.0 = std 1; envs whose useful
+    # action region is small — e.g. raw-mix flight modes 8/9 — learn far
+    # faster with a tighter initial exploration, e.g. -1.6 => std 0.2)
+    init_log_std: float = 0.0
     # amortized auto-reset (envs/base.py AutoResetState): ~3× faster rollouts
     # for envs with reset-time stabilization; 0 disables (exact per-step
     # resets). Value = the cache refresh PERIOD in steps.
@@ -114,6 +118,7 @@ class PPO:
             feature_sizes=config.feature_sizes,
             pi_sizes=config.pi_sizes,
             vf_sizes=config.vf_sizes,
+            init_log_std=config.init_log_std,
         )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
