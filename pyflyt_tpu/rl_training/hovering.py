@@ -93,6 +93,9 @@ def cmd_train(args):
             num_minibatches=args.num_minibatches,
             learning_rate=args.learning_rate,
             feature_sizes=tuple([args.layer_size] * args.num_of_layers),
+            clip_eps=args.clip_eps,
+            init_log_std=args.init_log_std,
+            cached_reset_refresh=args.cached_reset_refresh,
         ),
     )
     runner = train(
@@ -185,6 +188,13 @@ def main(argv=None):
     t.add_argument("--n_epochs", type=int, default=15)
     t.add_argument("--num_minibatches", type=int, default=32)
     t.add_argument("--learning_rate", type=float, default=3e-4)
+    t.add_argument("--clip_eps", type=float, default=0.2)
+    # the decisive exploration knob for the raw-mix modes 8/9 (see CLAUDE.md):
+    # useful actions live in a ~±0.05 band, so SB3's default unit std never
+    # leaves the tumble regime
+    t.add_argument("--init_log_std", type=float, default=0.0)
+    # amortized auto-reset period in steps (0 = exact per-step resets)
+    t.add_argument("--cached_reset_refresh", type=int, default=0)
     t.add_argument("--num_of_layers", type=int, default=2)
     t.add_argument("--layer_size", type=int, default=256)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)

@@ -51,6 +51,9 @@ def _make_ppo(args, env):
             num_epochs=getattr(args, "n_epochs", 15),
             num_minibatches=getattr(args, "num_minibatches", 32),
             learning_rate=getattr(args, "learning_rate", 3e-4),
+            clip_eps=getattr(args, "clip_eps", 0.2),
+            init_log_std=getattr(args, "init_log_std", 0.0),
+            cached_reset_refresh=getattr(args, "cached_reset_refresh", 0),
             feature_sizes=(256, 256),
             # SB3 net_arch pi/vf=[64,64,32,32] heads
             pi_sizes=(64, 64, 32, 32),
@@ -150,6 +153,11 @@ def main(argv=None):
     t.add_argument("--n_epochs", type=int, default=15)
     t.add_argument("--num_minibatches", type=int, default=32)
     t.add_argument("--learning_rate", type=float, default=3e-4)
+    t.add_argument("--clip_eps", type=float, default=0.2)
+    # exploration scale; -1.6 is the solved mode-8/9 recipe (see CLAUDE.md)
+    t.add_argument("--init_log_std", type=float, default=0.0)
+    # amortized auto-reset period in steps (0 = exact per-step resets)
+    t.add_argument("--cached_reset_refresh", type=int, default=0)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
     t.add_argument("--log_dir", type=str, default=None)
