@@ -47,6 +47,11 @@ class ActorCritic(nn.Module):
     pi_sizes: Sequence[int] = ()
     vf_sizes: Sequence[int] = ()
     init_log_std: float = 0.0
+    # optional (min, max) clamp on the learned log_std. SB3 leaves the
+    # parameter free; on raw-actuator envs (QuadX mode 8) the free std
+    # inflates mid-training and destroys the policy — a hard range keeps
+    # exploration inside the useful action band. None = unclamped.
+    log_std_range: tuple[float, float] | None = None
 
     @nn.compact
     def __call__(self, obs: Array) -> tuple[Array, Array, Array]:
@@ -62,6 +67,8 @@ class ActorCritic(nn.Module):
             nn.initializers.constant(self.init_log_std),
             (self.action_dim,),
         )
+        if self.log_std_range is not None:
+            log_std = jnp.clip(log_std, *self.log_std_range)
 
         vf = MLP((*self.feature_sizes, *self.vf_sizes), name="vf_trunk")(obs)
         value = nn.Dense(

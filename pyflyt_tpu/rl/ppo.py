@@ -54,6 +54,9 @@ class PPOConfig:
     # action region is small — e.g. raw-mix flight modes 8/9 — learn far
     # faster with a tighter initial exploration, e.g. -1.6 => std 0.2)
     init_log_std: float = 0.0
+    # optional (min, max) clamp on the learned log_std (None = free, the SB3
+    # behavior). See networks.ActorCritic.log_std_range.
+    log_std_range: tuple | None = None
     # amortized auto-reset (envs/base.py AutoResetState): ~3× faster rollouts
     # for envs with reset-time stabilization; 0 disables (exact per-step
     # resets). Value = the cache refresh PERIOD in steps.
@@ -119,6 +122,7 @@ class PPO:
             pi_sizes=config.pi_sizes,
             vf_sizes=config.vf_sizes,
             init_log_std=config.init_log_std,
+            log_std_range=config.log_std_range,
         )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),

@@ -95,6 +95,15 @@ def cmd_train(args):
             feature_sizes=tuple([args.layer_size] * args.num_of_layers),
             clip_eps=args.clip_eps,
             init_log_std=args.init_log_std,
+            log_std_range=(
+                None
+                if args.log_std_min is None and args.log_std_max is None
+                else (
+                    -20.0 if args.log_std_min is None else args.log_std_min,
+                    20.0 if args.log_std_max is None else args.log_std_max,
+                )
+            ),
+            entropy_coef=args.entropy_coef,
             cached_reset_refresh=args.cached_reset_refresh,
         ),
     )
@@ -193,6 +202,12 @@ def main(argv=None):
     # useful actions live in a ~±0.05 band, so SB3's default unit std never
     # leaves the tumble regime
     t.add_argument("--init_log_std", type=float, default=0.0)
+    # SB3 ent_coef; negative values PENALIZE entropy — useful when the free
+    # log_std inflates during training (observed on raw-PWM mode 8)
+    t.add_argument("--entropy_coef", type=float, default=0.0)
+    # hard clamp on the learned log_std (unset = free, the SB3 behavior)
+    t.add_argument("--log_std_min", type=float, default=None)
+    t.add_argument("--log_std_max", type=float, default=None)
     # amortized auto-reset period in steps (0 = exact per-step resets)
     t.add_argument("--cached_reset_refresh", type=int, default=0)
     t.add_argument("--num_of_layers", type=int, default=2)

@@ -124,3 +124,20 @@ def test_cached_reset_rollout():
     jax.block_until_ready(runner.params)
     assert np.isfinite(float(metrics["loss"]))
     assert int(runner.update_idx) == 1
+
+
+def test_log_std_clamp():
+    """log_std_range hard-caps the effective std the policy samples with."""
+    cfg = PPOConfig(
+        num_envs=16, rollout_steps=8, num_epochs=2, num_minibatches=4,
+        feature_sizes=(32, 32), init_log_std=1.5, log_std_range=(-2.0, -1.0),
+    )
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    obs = runner.obs
+    _, log_std, _ = ppo.network.apply(runner.params, obs)
+    # init 1.5 is above the max → clamped to -1.0 everywhere
+    np.testing.assert_allclose(np.asarray(log_std), -1.0)
+    # and a train iteration still runs with the clamp in the graph
+    runner2, metrics = jax.jit(ppo.train_iteration)(runner)
+    assert np.isfinite(float(metrics["loss"]))
