@@ -58,9 +58,15 @@ _PPRV = 46     # 3: ang_vel PID prev error
 _CON = 49      # 1: contact flag (0/1)
 
 
+SUBLANES = 8  # env axis is folded (N,) -> (SUBLANES, N/SUBLANES): a packed
+# row is a full-utilization (8, lanes) vreg tile instead of a 1-sublane
+# (1, N) strip — ~8x the VPU issue width for the kernel's elementwise chains
+
+
 def pack_state(state: quadx.QuadXState) -> Array:
-    """QuadXState (batch (N,)) -> (ROWS, N) f32."""
+    """QuadXState (batch (N,)) -> (ROWS, 8, N/8) f32 (env axis folded)."""
     n = state.body.pos.shape[0]
+    assert n % SUBLANES == 0, n
     rows = [
         state.body.pos.T,
         state.body.quat.T,
@@ -78,13 +84,16 @@ def pack_state(state: quadx.QuadXState) -> Array:
     ]
     packed = jnp.concatenate(rows, axis=0)
     pad = ROWS - packed.shape[0]
-    return jnp.concatenate(
+    packed = jnp.concatenate(
         [packed, jnp.zeros((pad, n), packed.dtype)], axis=0
     )
+    return packed.reshape(ROWS, SUBLANES, n // SUBLANES)
 
 
 def unpack_state(packed: Array, template: quadx.QuadXState) -> quadx.QuadXState:
-    """(ROWS, N) -> QuadXState (non-mode-0 PID banks keep template values)."""
+    """(ROWS, 8, N/8) -> QuadXState (non-mode-0 PID banks keep template
+    values)."""
+    packed = packed.reshape(ROWS, -1)
     g = lambda r, k: packed[r : r + k].T
     n = packed.shape[1]
     return template.replace(
@@ -110,9 +119,26 @@ def unpack_state(packed: Array, template: quadx.QuadXState) -> quadx.QuadXState:
     )
 
 
+# env-fused row layout: the 6 spare rows carry the hover task's env fields
+_RWD = 50    # running reward of the agent step
+_TERM = 51   # termination flag
+_TRUNC = 52  # truncation flag
+_COLL = 53   # collision info flag
+_OOB = 54    # out-of-bounds info flag
+_STEP = 55   # agent step count (exact as f32 below 2^24)
+
+
 def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
-                  noisy: bool):
-    """Bakes the (concrete) parameters into a kernel body."""
+                  noisy: bool, env_fuse: dict | None = None):
+    """Bakes the (concrete) parameters into a kernel body.
+
+    ``env_fuse`` (optional) fuses the WHOLE hover-env agent step
+    (envs/quadx_base.py base_step + envs/quadx_hover.py _task_update) into
+    the kernel: ``inner_steps`` aviary steps with per-step reward shaping,
+    termination/truncation checks and the done-freeze, keeping state
+    register-resident across the loop. Keys: ``inner_steps`` (env_step_ratio),
+    ``dome`` (flight_dome_size), ``max_steps``, ``sparse`` (bool).
+    """
     assert mode in (0, 8), "pallas fast path supports modes 0 and 8"
     assert cfg.orn_conv == "ENU_FLU", (
         "pallas fast path is ENU_FLU-only (the PID measurement, z clip and "
@@ -187,7 +213,7 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     def kernel(seed_ref, s_ref, o_ref):
         if noisy:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        S = s_ref[:]  # (ROWS, TILE)
+        S = s_ref[:]  # (ROWS, 8, TILE) — each row is a full (8, TILE) tile
         row = lambda r, k=1: S[r : r + k]
 
         def normal(shape):
@@ -215,7 +241,37 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
         contact = S[_CON]
         any_contact = jnp.zeros_like(contact)
 
-        for it in range(ratio):
+        if env_fuse is not None:
+            # env registers (rows 50-55) + per-agent-step init: reward is
+            # re-armed to -0.1 unconditionally (quadx_base.py base_step sets
+            # it outside the frozen inner scan)
+            rwd = jnp.full_like(contact, -0.1)
+            term = S[_TERM]
+            trunc = S[_TRUNC]
+            coll = S[_COLL]
+            oobf = S[_OOB]
+            stepc = S[_STEP]
+            # step-count truncation uses the PRE-increment count, constant
+            # across the inner loop (quadx_base.py:138)
+            trunc_hit = (stepc > float(env_fuse["max_steps"])).astype(
+                jnp.float32
+            )
+            dome2 = float(env_fuse["dome"]) ** 2
+            n_aviary = int(env_fuse["inner_steps"])
+        else:
+            n_aviary = 1
+
+        for _a in range(n_aviary):
+          if env_fuse is not None:
+            done_before = jnp.minimum(jnp.maximum(term, trunc), 1.0)
+            snap = (
+                list(pos), list(quat), list(lvel), list(avel), list(view),
+                list(avb), list(drg), list(thr), list(pwm), list(pint),
+                list(pprv), contact, rwd, term, trunc, coll, oobf,
+            )
+            any_contact = jnp.zeros_like(contact)
+
+          for it in range(ratio):
             # ---------------- control at iteration 0 (aviary.py:480-484)
             if it == 0:
                 if mode == 8:
@@ -265,8 +321,8 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             # ---------------- physics iteration (models/quadx.py physics_iter)
             # motor throttle lag + noise
             if noisy:
-                # 2-D draw (TPU PRNG needs >=2D); rows 0-3 = per-motor noise
-                nrm = normal((8, contact.shape[-1]))
+                # one (8, TILE) 2-D draw per motor (TPU PRNG needs >=2D)
+                nrm = [normal(contact.shape) for _ in range(4)]
             for m in range(4):
                 thr[m] = thr[m] + (dt / tau[m]) * (pwm[m] - thr[m])
                 if noisy:
@@ -370,6 +426,47 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             avb = avb_new
             drg = new_drg
 
+          if env_fuse is not None:
+            # ---- fused task update (quadx_hover.py _task_update) on the
+            # candidate state, then the done-freeze (quadx_base.py:220-232)
+            vx, vy, vz = view[9], view[10], view[11]  # lagged lin_pos
+            oob_i = ((vx * vx + vy * vy + vz * vz) > dome2).astype(
+                jnp.float32
+            )
+            fatal = jnp.maximum(any_contact, oob_i)
+            trunc_c = jnp.minimum(trunc + trunc_hit, 1.0)
+            rwd_c = jnp.where(fatal > 0.0, -100.0, rwd)
+            if not env_fuse["sparse"]:
+                dxt, dyt, dzt = vx, vy, vz - 1.0
+                lin_d = jnp.sqrt(dxt * dxt + dyt * dyt + dzt * dzt)
+                ang_d = jnp.sqrt(view[3] * view[3] + view[4] * view[4])
+                rwd_c = rwd_c - lin_d - ang_d + 1.0
+            term_c = jnp.minimum(term + fatal, 1.0)
+            coll_c = jnp.minimum(coll + any_contact, 1.0)
+            oobf_c = jnp.minimum(oobf + oob_i, 1.0)
+            keep = done_before
+            sel = lambda old_v, new_v: keep * old_v + (1.0 - keep) * new_v
+            (s_pos, s_quat, s_lvel, s_avel, s_view, s_avb, s_drg, s_thr,
+             s_pwm, s_pint, s_pprv, s_con, s_rwd, s_term, s_trunc, s_coll,
+             s_oobf) = snap
+            pos = [sel(o, n_) for o, n_ in zip(s_pos, pos)]
+            quat = [sel(o, n_) for o, n_ in zip(s_quat, quat)]
+            lvel = [sel(o, n_) for o, n_ in zip(s_lvel, lvel)]
+            avel = [sel(o, n_) for o, n_ in zip(s_avel, avel)]
+            view = [sel(o, n_) for o, n_ in zip(s_view, view)]
+            avb = [sel(o, n_) for o, n_ in zip(s_avb, avb)]
+            drg = [sel(o, n_) for o, n_ in zip(s_drg, drg)]
+            thr = [sel(o, n_) for o, n_ in zip(s_thr, thr)]
+            pwm = [sel(o, n_) for o, n_ in zip(s_pwm, pwm)]
+            pint = [sel(o, n_) for o, n_ in zip(s_pint, pint)]
+            pprv = [sel(o, n_) for o, n_ in zip(s_pprv, pprv)]
+            contact = sel(s_con, contact)
+            rwd = sel(s_rwd, rwd_c)
+            term = sel(s_term, term_c)
+            trunc = sel(s_trunc, trunc_c)
+            coll = sel(s_coll, coll_c)
+            oobf = sel(s_oobf, oobf_c)
+
         # ---- pack back
         out = [None] * ROWS
         for i in range(3):
@@ -388,10 +485,18 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
         for i in range(12):
             out[_VIEW + i] = view[i]
         out[_CON] = contact
-        zero = jnp.zeros_like(contact)
-        out[_CON + 1] = any_contact
-        for i in range(_CON + 2, ROWS):
-            out[i] = zero
+        if env_fuse is not None:
+            out[_RWD] = rwd
+            out[_TERM] = term
+            out[_TRUNC] = trunc
+            out[_COLL] = coll
+            out[_OOB] = oobf
+            out[_STEP] = stepc + 1.0  # post-scan increment, unconditional
+        else:
+            zero = jnp.zeros_like(contact)
+            out[_CON + 1] = any_contact
+            for i in range(_CON + 2, ROWS):
+                out[i] = zero
         o_ref[:] = jnp.stack(out, axis=0)
 
     return kernel
@@ -406,8 +511,8 @@ def packed_step(
     noisy: bool = True,
     tile: int = 512,
 ) -> Array:
-    """One aviary step on the packed (ROWS, N) state. Row ``_CON + 1`` of the
-    output carries the any-contact flag for the step.
+    """One aviary step on the packed (ROWS, 8, N/8) state. Row ``_CON + 1``
+    of the output carries the any-contact flag for the step.
 
     ``params`` must be CONCRETE (the numeric values are baked into the kernel
     at trace time) — pass the env's cached parameter pytree, captured by
@@ -416,17 +521,62 @@ def packed_step(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = packed.shape[1]
-    tile = min(tile, n)
-    assert n % tile == 0, (n, tile)
+    lanes = packed.shape[2]  # folded minor axis = N / SUBLANES
+    tile = min(tile, lanes)
+    assert lanes % tile == 0, (lanes, tile)
     kernel = _build_kernel(params, cfg, mode, noisy)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n // tile,),
+        grid=(lanes // tile,),
         in_specs=[
-            pl.BlockSpec((ROWS, tile), lambda i, s: (0, i)),
+            pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
         ],
-        out_specs=pl.BlockSpec((ROWS, tile), lambda i, s: (0, i)),
+        out_specs=pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        grid_spec=grid_spec,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+
+
+def packed_hover_step(
+    packed: Array,
+    seed: Array,
+    params: quadx.QuadXParams,
+    cfg: quadx.QuadXConfig,
+    mode: int,
+    noisy: bool,
+    inner_steps: int,
+    dome: float,
+    max_steps: int,
+    sparse: bool = False,
+    tile: int = 512,
+) -> Array:
+    """One FULL hover-env agent step on the packed (ROWS, 8, N/8) state:
+    ``inner_steps`` aviary steps + reward shaping + termination/truncation +
+    done-freeze, all register-resident (see envs/packed_hover.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = packed.shape[2]
+    tile = min(tile, lanes)
+    assert lanes % tile == 0, (lanes, tile)
+    kernel = _build_kernel(
+        params, cfg, mode, noisy,
+        env_fuse=dict(
+            inner_steps=inner_steps, dome=dome, max_steps=max_steps,
+            sparse=sparse,
+        ),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(lanes // tile,),
+        in_specs=[
+            pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
     )
     return pl.pallas_call(
         kernel,
@@ -459,4 +609,4 @@ def step(
     new_state = new_state.replace(
         physics_steps=state.physics_steps + cfg.physics_control_ratio
     )
-    return new_state, out[_CON + 1] > 0.5
+    return new_state, out[_CON + 1].reshape(-1) > 0.5

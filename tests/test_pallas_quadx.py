@@ -106,7 +106,7 @@ def test_pack_unpack_roundtrip():
     params = quadx.build_params(cfg)
     st = _random_state(cfg, params, n=128, seed=5)
     packed = pallas_quadx.pack_state(st)
-    assert packed.shape == (pallas_quadx.ROWS, 128)
+    assert packed.shape == (pallas_quadx.ROWS, 8, 16)
     st2 = pallas_quadx.unpack_state(packed, st)
     np.testing.assert_array_equal(np.asarray(st2.body.pos), np.asarray(st.body.pos))
     np.testing.assert_array_equal(np.asarray(st2.read.view), np.asarray(st.read.view))
