@@ -21,14 +21,19 @@ documented deviations:
 Validated against ``quadx.step`` in tests/test_pallas_quadx.py (noise off ⇒
 bitwise-close agreement).
 
-Measured on one v5e chip (8192 envs, 256-step scan, noise on):
-``packed_step`` 80.2M aviary-steps/s vs 64.8M for the isolated XLA
-``quadx.step`` — a 1.24× stepping speedup. End-to-end through the hover env
-(``QuadXHoverEnv(use_pallas=True)`` with per-step pack/unpack) it reaches
-27.6M env-steps/s vs 27.0M for the default vmapped XLA pipeline — i.e. XLA's
-whole-program fusion already runs the env at the kernel's speed, so this
-stays an *experimental* opt-in fast path (modes 0/8, no wind,
-detection-grade contact), not the default.
+Measured on one v5e chip (8192 envs, 256-step scans, noise on):
+
+- flat (ROWS, N) layout, one aviary step per call: 80.2M aviary-steps/s —
+  launch/HBM-bound (the 1-sublane row vectors leave the VPU ~1/8 utilized,
+  but per-call overhead dominated anyway). End-to-end through
+  ``QuadXHoverEnv(use_pallas=True)`` it matched the XLA pipeline (27.6M vs
+  27.0M env-steps/s).
+- folded (ROWS, 8, N/8) layout + the WHOLE env agent step fused in one call
+  (``packed_hover_step``: 3 aviary steps + reward/termination/freeze): the
+  hover env reaches **101.6M env-steps/s** (= 305M aviary-steps/s inside
+  the kernel) vs 27.3M for the XLA pipeline — 3.7× end-to-end, 10.2× the
+  recorded 10M north-star target. This is the default ``bench.py`` path;
+  envelope: modes 0/8, ENU, no wind, detection-grade contact.
 """
 
 from __future__ import annotations
@@ -551,7 +556,7 @@ def packed_hover_step(
     dome: float,
     max_steps: int,
     sparse: bool = False,
-    tile: int = 512,
+    tile: int = 1024,  # best of {256, 512, 1024} at 8192 envs on v5e
 ) -> Array:
     """One FULL hover-env agent step on the packed (ROWS, 8, N/8) state:
     ``inner_steps`` aviary steps + reward shaping + termination/truncation +
