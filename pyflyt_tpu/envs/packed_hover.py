@@ -18,6 +18,16 @@ or euler observations, dense or sparse reward.
 Reference semantics covered (cited against the upstream tree):
 - agent-step loop: quadx_base_env.py:248-279
 - reward/termination: quadx_base_env.py:230-246, quadx_hover_env.py:105-119
+
+Multi-chip: wrap ``step`` in ``jax.shard_map`` with the packed state in
+``P(None, None, 'env')`` and every flat (N,) quantity (actions, obs,
+rewards) in ``P('env')`` — each device then owns a lane-block and the
+internal (ROWS, 8, N/8) <-> (ROWS, N) reshapes stay shard-local, so the
+rollout lowers with ZERO collectives (asserted in
+tests/test_packed_hover.py::test_packed_env_steps_under_shard_map).
+Sharding a jitted ``step`` directly instead would all-gather the packed
+state: the fold interleaves env ids across lane-blocks, so a global
+reshape mixes shards.
 """
 
 from __future__ import annotations

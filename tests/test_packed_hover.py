@@ -133,3 +133,50 @@ def test_packed_autoreset_resets_done_lanes():
                 np.asarray(sc[np.asarray(done)]), 0.0
             )
     assert bool(jnp.any(done_seen))
+
+
+def test_packed_env_steps_under_shard_map():
+    """Multi-chip pattern for the fused env: each device owns a packed
+    block; reshapes stay shard-local, so the rollout is collective-free.
+    All flat (N,)-quantities (action in, obs/reward out) flow through the
+    same P('env') specs, keeping the env ordering consistent end to end."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    base, penv = _envs()
+    ndev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+
+    keys = jax.random.split(jax.random.PRNGKey(5), N)
+    state, obs0 = penv.reset(keys)
+    shard_keys = jax.random.split(jax.random.PRNGKey(6), ndev)
+
+    def local_step(packed, key, act):
+        st = type(state)(packed=packed, key=key[0])
+        st, out = penv.step(st, act)
+        return st.packed, out.obs, out.reward
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(None, None, "env"), P("env"), P("env")),
+        out_specs=(P(None, None, "env"), P("env"), P("env")),
+        check_vma=False,  # pallas_call out_shape carries no vma info
+    )
+    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.45]), (N, 1))
+    packed, obs, reward = jax.jit(sharded)(state.packed, shard_keys, act)
+    assert packed.shape == state.packed.shape
+    assert obs.shape == (N, base.obs_size)
+    assert bool(jnp.all(jnp.isfinite(reward)))
+
+    hlo = (
+        jax.jit(sharded).lower(state.packed, shard_keys, act).compile().as_text()
+    )
+    collectives = [
+        l
+        for l in hlo.splitlines()
+        if "all-gather" in l or "all-reduce" in l or "all-to-all" in l
+        or "collective-permute" in l
+    ]
+    assert not collectives, collectives[:3]
