@@ -43,6 +43,13 @@ def build_env(args):
 def _make_ppo(args, env):
     from pyflyt_tpu.rl import PPO, PPOConfig
 
+    lo = getattr(args, "log_std_min", None)
+    hi = getattr(args, "log_std_max", None)
+    log_std_range = (
+        None
+        if lo is None and hi is None
+        else (-20.0 if lo is None else lo, 20.0 if hi is None else hi)
+    )
     return PPO(
         env,
         PPOConfig(
@@ -53,6 +60,7 @@ def _make_ppo(args, env):
             learning_rate=getattr(args, "learning_rate", 3e-4),
             clip_eps=getattr(args, "clip_eps", 0.2),
             init_log_std=getattr(args, "init_log_std", 0.0),
+            log_std_range=log_std_range,
             cached_reset_refresh=getattr(args, "cached_reset_refresh", 0),
             feature_sizes=(256, 256),
             # SB3 net_arch pi/vf=[64,64,32,32] heads
@@ -156,6 +164,10 @@ def main(argv=None):
     t.add_argument("--clip_eps", type=float, default=0.2)
     # exploration scale; -1.6 is the solved mode-8/9 recipe (see CLAUDE.md)
     t.add_argument("--init_log_std", type=float, default=0.0)
+    # hard clamp on the learned log_std (unset = free, the SB3 behavior);
+    # raw-mix modes need it — see CLAUDE.md
+    t.add_argument("--log_std_min", type=float, default=None)
+    t.add_argument("--log_std_max", type=float, default=None)
     # amortized auto-reset period in steps (0 = exact per-step resets)
     t.add_argument("--cached_reset_refresh", type=int, default=0)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
