@@ -58,6 +58,30 @@ def main():
         "QuadX-Hover", QuadXHoverEnv(), 8192, 128,
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.36]), (8192, 1)),
     )
+
+    # fused-kernel hover env (the bench.py headline path)
+    from pyflyt_tpu.envs.packed_hover import (
+        PackedQuadXHoverEnv, packed_autoreset_init, packed_cached_autoreset_step,
+    )
+
+    penv = PackedQuadXHoverEnv(base=QuadXHoverEnv())
+    pkeys = jax.random.split(jax.random.PRNGKey(0), 8192)
+    pars, _ = jax.jit(lambda k: packed_autoreset_init(penv, k))(pkeys)
+    pact = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.36]), (8192, 1))
+
+    @jax.jit
+    def packed_chunk(a):
+        def body(a, _):
+            a, out = packed_cached_autoreset_step(penv, a, pact, refresh=64)
+            return a, out.reward
+        return jax.lax.scan(body, a, None, length=128)
+
+    dt = timeit(packed_chunk, pars)
+    print(json.dumps({
+        "metric": "QuadX-Hover fused-kernel env-steps/s (8192 envs)",
+        "value": round(8192 * 128 / dt),
+        "unit": "env-steps/s",
+    }), flush=True)
     bench_env(
         "Fixedwing-Waypoints", FixedwingWaypointsEnv(), 4096, 64,
         jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1)),
