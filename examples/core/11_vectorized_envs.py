@@ -2,8 +2,10 @@
 
 This is where the framework departs from the reference: instead of one
 process per environment (SubprocVecEnv), the entire batch steps in lockstep
-on device. On a v5e chip, 8192 QuadX-Hover envs exceed 10M env-steps/s
-(see bench.py).
+on device. On a v5e chip, 8192 QuadX-Hover envs exceed 27M env-steps/s
+through this pure-XLA pipeline — and 100M+ through the fused-kernel variant
+(``pyflyt_tpu.envs.packed_hover``, same API over a Pallas-packed state; see
+bench.py).
 """
 
 import time
