@@ -22,7 +22,7 @@ from pyflyt_tpu.envs.packed_hover import (
 from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv
 
 NUM_ENVS = 8192
-STEPS_PER_CHUNK = 256
+STEPS_PER_CHUNK = 512  # long chunks amortize per-dispatch latency
 TARGET_ENV_STEPS_PER_S = 10_000_000.0  # BASELINE.json north star
 
 

@@ -30,8 +30,8 @@ Measured on one v5e chip (8192 envs, 256-step scans, noise on):
   27.0M env-steps/s).
 - folded (ROWS, 8, N/8) layout + the WHOLE env agent step fused in one call
   (``packed_hover_step``: 3 aviary steps + reward/termination/freeze): the
-  hover env reaches **101.6M env-steps/s** (= 305M aviary-steps/s inside
-  the kernel) vs 27.3M for the XLA pipeline — 3.7× end-to-end, 10.2× the
+  hover env reaches **121.5M env-steps/s** (= 364M aviary-steps/s inside
+  the kernel) vs 27.3M for the XLA pipeline — 4.5× end-to-end, 12.1× the
   recorded 10M north-star target. This is the default ``bench.py`` path;
   envelope: modes 0/8, ENU, no wind, detection-grade contact.
 """
