@@ -44,6 +44,7 @@ import numpy as np
 from jax import Array
 
 from pyflyt_tpu.models import quadx
+from pyflyt_tpu.ops import pallas_math as pmk
 
 ROWS = 56  # 50 used, padded to a multiple of 8 sublanes
 
@@ -179,56 +180,16 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    # Mosaic has no atan2/arcsin lowering — polynomial implementations
-    # (f32-grade minimax, |err| < 2e-5 rad; only feeds the euler observation)
-    def _atan_unit(t):  # |t| <= 1
-        t2 = t * t
-        return t * (
-            0.99997726
-            + t2
-            * (
-                -0.33262347
-                + t2
-                * (
-                    0.19354346
-                    + t2 * (-0.11643287 + t2 * (0.05265332 + t2 * -0.01172120))
-                )
-            )
-        )
-
-    def _atan(t):
-        at = jnp.abs(t)
-        inv = at > 1.0
-        z = jnp.where(inv, 1.0 / jnp.maximum(at, 1e-30), at)
-        r = _atan_unit(z)
-        r = jnp.where(inv, (np.pi / 2) - r, r)
-        return jnp.where(t < 0.0, -r, r)
-
-    def _atan2(yv, xv):
-        safe_x = jnp.where(jnp.abs(xv) < 1e-30,
-                           jnp.where(xv >= 0.0, 1e-30, -1e-30), xv)
-        base = _atan(yv / safe_x)
-        add = jnp.where(yv >= 0.0, np.pi, -np.pi)
-        return jnp.where(xv < 0.0, base + add, base)
-
-    def _asin(s):
-        s = jnp.clip(s, -1.0, 1.0)
-        return _atan2(s, jnp.sqrt(jnp.maximum(1.0 - s * s, 1e-12)))
+    # polynomial atan2/asin + Box-Muller shared with the other vehicle
+    # kernels (ops/pallas_math.py)
+    _atan2 = pmk.atan2
+    _asin = pmk.asin
 
     def kernel(seed_ref, s_ref, o_ref):
         if noisy:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         S = s_ref[:]  # (ROWS, 8, TILE) — each row is a full (8, TILE) tile
-        row = lambda r, k=1: S[r : r + k]
-
-        def normal(shape):
-            # Box-Muller from two 31-bit draws (mosaic lacks uint32->f32 cast)
-            b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-            b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.int32)
-            u1 = (b1 & 0x7FFFFFFF).astype(jnp.float32) / 2147483648.0
-            u2 = (b2 & 0x7FFFFFFF).astype(jnp.float32) / 2147483648.0
-            u1 = jnp.clip(u1, 1e-7, 1.0)
-            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(2.0 * jnp.pi * u2)
+        normal = pmk.make_normal
 
         # ---- unpack mutable registers
         pos = [S[_POS + i] for i in range(3)]
