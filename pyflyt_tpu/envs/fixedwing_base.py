@@ -51,6 +51,7 @@ class FixedwingBaseEnv:
     angle_representation: str = "quaternion"
     agent_hz: int = 30
     drone_model: str = "fixedwing"
+    noisy_motors: bool = True
 
     def __post_init__(self):
         if CONTROL_HZ % self.agent_hz != 0:
@@ -71,7 +72,9 @@ class FixedwingBaseEnv:
     @functools.cached_property
     def cfg(self) -> fixedwing.FixedwingConfig:
         return fixedwing.FixedwingConfig(
-            drone_model=self.drone_model, control_hz=CONTROL_HZ
+            drone_model=self.drone_model,
+            control_hz=CONTROL_HZ,
+            noisy_motors=self.noisy_motors,
         )
 
     @functools.cached_property

@@ -47,8 +47,8 @@ class DogfightState:
     key: Array
     step_count: Array
     alive: Array  # (2,) bool
-    current_actions: Array  # (2, 4)
-    past_actions: Array  # (2, 4)
+    current_actions: Array  # (2, action_size)
+    past_actions: Array  # (2, action_size)
     health: Array  # (2,)
     current_hits: Array  # (2,) bool — hit scored BY agent i
     current_angles: Array  # (2,)
@@ -89,7 +89,6 @@ class MAFixedwingDogfightEnv:
             raise AssertionError(
                 f"`agent_hz` must be a round denominator of {CONTROL_HZ}."
             )
-        assert self.assisted_flight, "raw actuator flight not supported yet"
         _ = self.params
 
     @property
@@ -120,15 +119,27 @@ class MAFixedwingDogfightEnv:
 
     @property
     def obs_size(self) -> int:
-        return 12 + 1 + 12 + 1 + 4  # the reference's actual emission (30)
+        # the reference's actual emission: 30 assisted, 32 unassisted
+        return 12 + 1 + 12 + 1 + self.action_size
 
     @property
     def action_size(self) -> int:
-        return 4
+        """4 RPYT commands, or 6 "actuator" commands when
+        ``assisted_flight=False`` (ma_fixedwing_base_env.py:66).
+
+        REFERENCE QUIRK reproduced: the reference's reset tail calls
+        ``aviary.set_mode(0)`` unconditionally (ma_fixedwing_base_env.py:216),
+        so even unassisted 6-dim actions flow through the mode-0 surface-
+        assist map ``setpoint[[0,0,1,1,2,3]] * [1,-1,1,-1,0,1]``
+        (core/drones/fixedwing.py:224-225): action dims 4-5 are DEAD and
+        thrust is read from index 3, despite the Box constraining index 5 to
+        [0, 1]. True per-surface control is mode -1 on the core Aviary.
+        """
+        return 4 if self.assisted_flight else 6
 
     def action_bounds(self):
-        high = np.ones(4)
-        low = -np.ones(4)
+        high = np.ones(self.action_size)
+        low = -np.ones(self.action_size)
         low[-1] = 0.0
         return low, high
 
@@ -234,6 +245,11 @@ class MAFixedwingDogfightEnv:
         drones = fixedwing.init_state(
             self.params, self.cfg, pos, orn, mode=0, start_vel=forward * 10.0
         )
+        if not self.assisted_flight:
+            # 6-dim setpoint through the mode-0 assist map (see action_size)
+            drones = drones.replace(
+                setpoint=jnp.zeros((2, self.action_size), self.cfg.dtype)
+            )
 
         def stab(carry, _):
             drones, key = carry
@@ -248,8 +264,8 @@ class MAFixedwingDogfightEnv:
             key=key,
             step_count=jnp.zeros((), jnp.int32),
             alive=jnp.ones((2,), bool),
-            current_actions=jnp.zeros((2, 4), dtype),
-            past_actions=jnp.zeros((2, 4), dtype),
+            current_actions=jnp.zeros((2, self.action_size), dtype),
+            past_actions=jnp.zeros((2, self.action_size), dtype),
             health=jnp.ones((2,), dtype),
             current_hits=jnp.zeros((2,), bool),
             current_angles=jnp.zeros((2,), dtype),

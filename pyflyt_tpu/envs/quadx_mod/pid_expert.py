@@ -28,3 +28,16 @@ def hovering_pid_expert(observation: Array) -> Array:
         ],
         axis=-1,
     )
+
+
+def trajectory_pid_expert(observation: Array) -> Array:
+    """(…, 16) unnormalized trajectory-following obs → (…, 4) mode-10
+    setpoint.
+
+    Port of /root/reference/PyFlyt/gym_envs/quadx_mod_envs/
+    trajectory_following_slow/quadx_trajectory_following_pid_expert.py:20-35 —
+    the slow-variant obs shares the hovering layout ([lin_pos, lin_vel,
+    ang_pos, ang_vel, pos_err, yaw_err]), so the expert is the same
+    position-plus-error passthrough (the reference duplicates the class; we
+    alias it)."""
+    return hovering_pid_expert(observation)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 
 
 def build_env(args):
@@ -140,6 +141,114 @@ def cmd_eval(args):
         logger.log_episode()
 
 
+# The three fixed evaluation scenarios of the reference's slow-variant
+# PID-expert evaluation (rl_training/trajectory_following_slow/
+# evaluation_pid_expert.py:27-83): NED start pose, (n, 4) [x, y, z, psi]
+# waypoint list, base wind vector.
+_EXPERT_SCENARIOS = {
+    1: dict(
+        start_pos=((5.0, 0.0, -5.0),),
+        start_orn=((0.0, 0.0, 0.0),),
+        waypoints=tuple(
+            (x, y, z, math.radians(psi))
+            for x, y, z, psi in [
+                (4.05, 2.94, -6.0, 0), (1.55, 4.76, -7.0, 20),
+                (-1.55, 4.76, -8.0, 40), (-4.05, 2.94, -9.0, 60),
+                (-5.0, 0.0, -10.0, 80), (-4.05, -2.94, -9.0, 100),
+                (-1.55, -4.76, -8.0, 120), (1.55, -4.76, -7.0, 140),
+                (4.05, -2.94, -6.0, 160), (5.0, 0.0, -5.0, 175),
+            ]
+        ),
+        base_wind_velocities=(-2.0, -2.0, 0.5),
+    ),
+    2: dict(
+        start_pos=((0.0, 0.0, -5.0),),
+        start_orn=((0.0, 0.0, 0.0),),
+        waypoints=tuple(
+            (x, y, z, math.radians(psi))
+            for x, y, z, psi in [
+                (0.0, 5.0, -5.0, 35), (5.0, 5.0, -5.0, 70),
+                (5.0, 0.0, -5.0, 105), (0.0, 0.0, -5.0, 140),
+                (0.0, 0.0, -10.0, 175), (0.0, 5.0, -10.0, 140),
+                (5.0, 5.0, -10.0, 105), (5.0, 0.0, -10.0, 70),
+                (0.0, 0.0, -10.0, 35), (0.0, 0.0, -5.0, 0),
+            ]
+        ),
+        base_wind_velocities=(2.0, 2.0, -0.5),
+    ),
+    3: dict(
+        start_pos=((5.0, 5.0, -10.0),),
+        start_orn=((0.0, 0.0, 0.0),),
+        waypoints=tuple(
+            (x, y, z, math.radians(psi))
+            for x, y, z, psi in [
+                (-5.0, -5.0, -10.0, 25), (5.0, 5.0, -10.0, 50),
+                (-5.0, -5.0, -10.0, 75), (5.0, 5.0, -10.0, 100),
+                (-5.0, -5.0, -10.0, 125), (5.0, 5.0, -10.0, 150),
+                (-5.0, -5.0, -10.0, 175), (5.0, 5.0, -10.0, 150),
+                (-5.0, -5.0, -10.0, 125), (5.0, 5.0, -10.0, 100),
+            ]
+        ),
+        base_wind_velocities=(0.0, 0.0, 0.0),
+    ),
+}
+
+
+def cmd_eval_pid_expert(args):
+    """The PID-expert baseline on the reference's fixed slow-variant scenario
+    (trajectory_following_slow/evaluation_pid_expert.py:85-138): mode 10,
+    unnormalized obs/actions, fixed waypoint list, gusty wind."""
+    import jax
+    import numpy as np
+
+    from pyflyt_tpu.envs.quadx_mod import QuadXTrajectoryFollowingSlowEnv
+    from pyflyt_tpu.envs.quadx_mod.pid_expert import trajectory_pid_expert
+    from pyflyt_tpu.utils.trajectory_logger import TrajectorySlowLogger
+
+    scen = _EXPERT_SCENARIOS[args.scenario]
+    env = QuadXTrajectoryFollowingSlowEnv(
+        control_hz=80,
+        orn_conv="NED_FRD",
+        randomize_start=False,
+        random_trajectory=False,
+        goal_reach_distance=0.3,
+        goal_reach_angle=float(np.deg2rad(5)),
+        noisy_motors=True,
+        drone_model="cf2x",
+        flight_mode=10,
+        simulate_wind=True,
+        max_gust_strength=7.0,
+        flight_dome_size=100,
+        max_duration_seconds=args.max_duration_seconds,
+        normalize_obs=False,
+        normalize_actions=False,
+        **scen,
+    )
+    logger = TrajectorySlowLogger(args.log_dir) if args.log_dir else None
+    state, obs = env.reset(jax.random.PRNGKey(args.seed))
+    step = jax.jit(env.step)
+    total, length = 0.0, 0
+    while True:
+        action = trajectory_pid_expert(state.state16)
+        old16 = np.asarray(state.state16)
+        state, out = step(state, action)
+        total += float(out.reward)
+        length += 1
+        if logger:
+            logger.add(length - 1, np.asarray(state.target_pos),
+                       float(state.target_psi), old16,
+                       np.asarray(state.drone.pwm), float(out.reward))
+        if bool(out.termination) or bool(out.truncation):
+            break
+    if logger:
+        logger.log_episode()
+    print(json.dumps({
+        "episode_reward": total,
+        "episode_length": length,
+        "targets_reached": int(state.current_target_index),
+    }))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -182,6 +291,13 @@ def main(argv=None):
     e.add_argument("--episodes", type=int, default=16)
     e.add_argument("--log_dir", type=str, default=None)
     e.set_defaults(fn=cmd_eval)
+
+    x = sub.add_parser("eval-pid-expert")
+    x.add_argument("--scenario", type=int, default=3, choices=(1, 2, 3))
+    x.add_argument("--max_duration_seconds", type=float, default=30.0)
+    x.add_argument("--seed", type=int, default=0)
+    x.add_argument("--log_dir", type=str, default=None)
+    x.set_defaults(fn=cmd_eval_pid_expert)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -158,6 +158,39 @@ def test_dogfight_determinism():
         np.testing.assert_array_equal(r1, r2)
 
 
+def test_dogfight_unassisted_flight():
+    """``assisted_flight=False``: 6-dim actions, 32-dim obs, and the
+    reference quirk preserved — the trajectory matches the assisted env on
+    the shared first 4 action dims because the mode-0 assist map ignores
+    dims 4-5 (ma_fixedwing_base_env.py:216, fixedwing.py:224-225)."""
+    raw = MAFixedwingDogfightEnv(assisted_flight=False)
+    assert raw.action_size == 6 and raw.obs_size == 32
+
+    state_r, obs_r = raw.reset(jax.random.PRNGKey(4))
+    state_a, obs_a = DOG.reset(jax.random.PRNGKey(4))
+    assert obs_r.shape == (2, 32)
+    np.testing.assert_allclose(np.asarray(obs_r[:, :26]), np.asarray(obs_a[:, :26]))
+
+    a4 = jnp.tile(jnp.asarray([0.1, -0.05, 0.02, 0.7]), (2, 1))
+    # dims 4-5 are dead: fill them with garbage, trajectories must agree
+    a6 = jnp.concatenate(
+        [a4, jnp.asarray([[0.9, 0.3], [-0.7, 1.0]], a4.dtype)], axis=-1
+    )
+    step_r = jax.jit(raw.step)
+    step_a = jax.jit(DOG.step)
+    for i in range(4):
+        state_r, out_r = step_r(state_r, a6)
+        state_a, out_a = step_a(state_a, a4)
+        np.testing.assert_allclose(
+            np.asarray(out_r.obs[:, :26]), np.asarray(out_a.obs[:, :26]),
+            err_msg=f"step {i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_r.reward), np.asarray(out_a.reward),
+            err_msg=f"step {i}",
+        )
+
+
 # ---------------------------------------------------------------------------
 # PettingZoo shim
 # ---------------------------------------------------------------------------
