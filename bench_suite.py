@@ -86,6 +86,30 @@ def main():
         "Fixedwing-Waypoints", FixedwingWaypointsEnv(), 4096, 64,
         jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1)),
     )
+
+    # fused-kernel fixedwing waypoints env (ops/pallas_fixedwing.py)
+    from pyflyt_tpu.envs.packed_fixedwing_waypoints import (
+        PackedFixedwingWaypointsEnv,
+    )
+
+    fenv = PackedFixedwingWaypointsEnv(base=FixedwingWaypointsEnv())
+    fkeys = jax.random.split(jax.random.PRNGKey(0), 4096)
+    fstate, _ = jax.jit(fenv.reset)(fkeys)
+    fact = jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1))
+
+    @jax.jit
+    def fused_fw_chunk(s):
+        def body(s, _):
+            s, out = fenv.step(s, fact)
+            return s, out.reward
+        return jax.lax.scan(body, s, None, length=64)
+
+    dt = timeit(fused_fw_chunk, fstate)
+    print(json.dumps({
+        "metric": "Fixedwing-Waypoints fused-kernel env-steps/s (4096 envs)",
+        "value": round(4096 * 64 / dt),
+        "unit": "env-steps/s",
+    }), flush=True)
     bench_env(
         "Rocket-Landing", RocketLandingEnv(), 4096, 64,
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1)),
