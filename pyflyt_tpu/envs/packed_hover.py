@@ -12,7 +12,7 @@ observation from packed rows.
 Semantics match ``QuadXHoverEnv`` exactly with noise off (asserted in
 tests/test_packed_hover.py); with noise on the motor-noise PRNG stream
 differs (kernel-internal PRNG), same distribution. Supports the hover
-task's config surface on the fast-path envelope: modes 0/8, ENU, quaternion
+task's config surface on the fast-path envelope: modes 0/7/8, ENU, quaternion
 or euler observations, dense or sparse reward.
 
 Reference semantics covered (cited against the upstream tree):
@@ -64,7 +64,7 @@ class PackedQuadXHoverEnv:
     base: QuadXHoverEnv = dataclasses.field(default_factory=QuadXHoverEnv)
 
     def __post_init__(self):
-        assert self.base.flight_mode in (0, 8)
+        assert self.base.flight_mode in (0, 7, 8)
         assert self.base.orn_conv == "ENU_FLU"
 
     @property
@@ -81,7 +81,8 @@ class PackedQuadXHoverEnv:
     # ----- layout conversions ---------------------------------------------
     def pack_env_state(self, st: QuadXEnvState) -> Array:
         """Batched QuadXEnvState -> packed array (env fields in rows 50-55)."""
-        packed = pq.pack_state(st.drone).reshape(pq.ROWS, -1)
+        packed = pq.pack_state(st.drone, self.base.flight_mode)
+        packed = packed.reshape(packed.shape[0], -1)
         f32 = packed.dtype
         env_rows = jnp.stack(
             [
@@ -99,7 +100,7 @@ class PackedQuadXHoverEnv:
     def unpack_env_state(self, packed: Array, template: QuadXEnvState) -> QuadXEnvState:
         """Packed array -> batched QuadXEnvState (for parity checks)."""
         drone = pq.unpack_state(packed, template.drone)
-        flat = packed.reshape(pq.ROWS, -1)
+        flat = packed.reshape(packed.shape[0], -1)
         return template.replace(
             drone=drone,
             reward=flat[pq._RWD],
@@ -146,7 +147,7 @@ class PackedQuadXHoverEnv:
         b = self.base
         key, sub = jax.random.split(state.key)
         seed = jax.random.randint(sub, (), 0, 2**31 - 1)
-        flat = state.packed.reshape(pq.ROWS, -1)
+        flat = state.packed.reshape(state.packed.shape[0], -1)
         # setpoint := action, applied unconditionally before the inner loop
         # (quadx_base.py:194-201)
         act = jnp.asarray(action, dtype=flat.dtype).T
@@ -163,7 +164,7 @@ class PackedQuadXHoverEnv:
             max_steps=b.max_steps,
             sparse=b.sparse_reward,
         )
-        oflat = out.reshape(pq.ROWS, -1)
+        oflat = out.reshape(out.shape[0], -1)
         step_out = StepOut(
             obs=self._obs(oflat),
             reward=oflat[pq._RWD],

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused QuadX agent step (mode 0 / mode 8).
+"""Pallas TPU kernel: fused QuadX agent step (modes 0 / 7 / 8).
 
 The pure-XLA step stores state as ``(N, 3)``/``(N, 4)`` arrays whose minor
 dims land on the TPU's 128-wide lanes — ~2-3% lane utilization per op, and
@@ -33,7 +33,9 @@ Measured on one v5e chip (8192 envs, 256-step scans, noise on):
   hover env reaches **121.5M env-steps/s** (= 364M aviary-steps/s inside
   the kernel) vs 27.3M for the XLA pipeline — 4.5× end-to-end, 12.1× the
   recorded 10M north-star target. This is the default ``bench.py`` path;
-  envelope: modes 0/8, ENU, no wind, detection-grade contact.
+  envelope: modes 0/7/8, ENU, no wind, detection-grade contact
+  (mode 7 carries the full position-PID cascade in 24 extension
+  rows — see ROWS_MODE7).
 """
 
 from __future__ import annotations
@@ -46,7 +48,7 @@ from jax import Array
 from pyflyt_tpu.models import quadx
 from pyflyt_tpu.ops import pallas_math as pmk
 
-ROWS = 56  # 50 used, padded to a multiple of 8 sublanes
+ROWS = 56  # 50 used (56 with env fusion), padded to a multiple of 8 sublanes
 
 # row layout
 _POS = 0       # 3: world ENU position
@@ -63,14 +65,34 @@ _PINT = 43     # 3: ang_vel PID integral
 _PPRV = 46     # 3: ang_vel PID prev error
 _CON = 49      # 1: contact flag (0/1)
 
+# ---- mode-7 extension rows (packed ONLY when mode == 7, so the bench-path
+# modes 0/8 keep their 56-row HBM footprint): the four extra PID banks of
+# the position-control cascade (quadx.py:465-545)
+ROWS_MODE7 = 80  # 74 used, padded to a multiple of 8 sublanes
+_LP_INT = 56   # 2: lin_pos PID integral
+_LP_PRV = 58   # 2: lin_pos PID prev error
+_LV_INT = 60   # 2: lin_vel PID integral
+_LV_PRV = 62   # 2: lin_vel PID prev error
+_AP_INT = 64   # 3: ang_pos PID integral
+_AP_PRV = 67   # 3: ang_pos PID prev error
+_ZP_INT = 70   # 1: z_pos PID integral
+_ZP_PRV = 71   # 1: z_pos PID prev error
+_ZV_INT = 72   # 1: z_vel PID integral
+_ZV_PRV = 73   # 1: z_vel PID prev error
+
+
+def rows_for(mode: int) -> int:
+    return ROWS_MODE7 if mode == 7 else ROWS
+
 
 SUBLANES = 8  # env axis is folded (N,) -> (SUBLANES, N/SUBLANES): a packed
 # row is a full-utilization (8, lanes) vreg tile instead of a 1-sublane
 # (1, N) strip — ~8x the VPU issue width for the kernel's elementwise chains
 
 
-def pack_state(state: quadx.QuadXState) -> Array:
-    """QuadXState (batch (N,)) -> (ROWS, 8, N/8) f32 (env axis folded)."""
+def pack_state(state: quadx.QuadXState, mode: int = 0) -> Array:
+    """QuadXState (batch (N,)) -> (rows_for(mode), 8, N/8) f32 (env axis
+    folded). Mode 7 appends the position-cascade PID banks."""
     n = state.body.pos.shape[0]
     assert n % SUBLANES == 0, n
     rows = [
@@ -88,20 +110,60 @@ def pack_state(state: quadx.QuadXState) -> Array:
         state.pids.ang_vel.prev_error.T,
         state.contact.astype(jnp.float32)[None, :],
     ]
+    total = rows_for(mode)
+    if mode == 7:
+        pids = state.pids
+        rows += [
+            jnp.zeros((_LP_INT - _RWD, n), rows[0].dtype),  # env rows 50-55
+            pids.lin_pos.integral.T,
+            pids.lin_pos.prev_error.T,
+            pids.lin_vel.integral.T,
+            pids.lin_vel.prev_error.T,
+            pids.ang_pos.integral.T,
+            pids.ang_pos.prev_error.T,
+            pids.z_pos.integral.T,
+            pids.z_pos.prev_error.T,
+            pids.z_vel.integral.T,
+            pids.z_vel.prev_error.T,
+        ]
     packed = jnp.concatenate(rows, axis=0)
-    pad = ROWS - packed.shape[0]
+    pad = total - packed.shape[0]
     packed = jnp.concatenate(
         [packed, jnp.zeros((pad, n), packed.dtype)], axis=0
     )
-    return packed.reshape(ROWS, SUBLANES, n // SUBLANES)
+    return packed.reshape(total, SUBLANES, n // SUBLANES)
 
 
 def unpack_state(packed: Array, template: quadx.QuadXState) -> quadx.QuadXState:
-    """(ROWS, 8, N/8) -> QuadXState (non-mode-0 PID banks keep template
-    values)."""
-    packed = packed.reshape(ROWS, -1)
+    """(rows, 8, N/8) -> QuadXState (PID banks absent from the layout keep
+    template values)."""
+    rows = packed.shape[0]
+    packed = packed.reshape(rows, -1)
     g = lambda r, k: packed[r : r + k].T
     n = packed.shape[1]
+    pids = template.pids.replace(
+        ang_vel=template.pids.ang_vel.replace(
+            integral=g(_PINT, 3), prev_error=g(_PPRV, 3)
+        )
+    )
+    if rows >= ROWS_MODE7:
+        pids = pids.replace(
+            lin_pos=pids.lin_pos.replace(
+                integral=g(_LP_INT, 2), prev_error=g(_LP_PRV, 2)
+            ),
+            lin_vel=pids.lin_vel.replace(
+                integral=g(_LV_INT, 2), prev_error=g(_LV_PRV, 2)
+            ),
+            ang_pos=pids.ang_pos.replace(
+                integral=g(_AP_INT, 3), prev_error=g(_AP_PRV, 3)
+            ),
+            z_pos=pids.z_pos.replace(
+                integral=g(_ZP_INT, 1), prev_error=g(_ZP_PRV, 1)
+            ),
+            z_vel=pids.z_vel.replace(
+                integral=g(_ZV_INT, 1), prev_error=g(_ZV_PRV, 1)
+            ),
+        )
     return template.replace(
         body=template.body.replace(
             pos=g(_POS, 3), quat=g(_QUAT, 4), lin_vel=g(_LVEL, 3),
@@ -115,11 +177,7 @@ def unpack_state(packed: Array, template: quadx.QuadXState) -> quadx.QuadXState:
         throttle=g(_THR, 4),
         pwm=g(_PWM, 4),
         setpoint=g(_SP, 4),
-        pids=template.pids.replace(
-            ang_vel=template.pids.ang_vel.replace(
-                integral=g(_PINT, 3), prev_error=g(_PPRV, 3)
-            )
-        ),
+        pids=pids,
         contact=packed[_CON] > 0.5,
         physics_steps=template.physics_steps,
     )
@@ -145,7 +203,7 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     register-resident across the loop. Keys: ``inner_steps`` (env_step_ratio),
     ``dome`` (flight_dome_size), ``max_steps``, ``sparse`` (bool).
     """
-    assert mode in (0, 8), "pallas fast path supports modes 0 and 8"
+    assert mode in (0, 7, 8), "pallas fast path supports modes 0, 7 and 8"
     assert cfg.orn_conv == "ENU_FLU", (
         "pallas fast path is ENU_FLU-only (the PID measurement, z clip and "
         "view rows hardcode ENU semantics)"
@@ -160,6 +218,13 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     kd = p(params.pid_ang_vel.kd)
     lim = p(params.pid_ang_vel.lim)
     period = float(params.pid_ang_vel.period)
+    if mode == 7:
+        # the position-cascade banks (quadx.py:465-545), baked per lane
+        banks = {
+            name: tuple(p(getattr(params, f"pid_{name}").__getattribute__(f))
+                        for f in ("kp", "ki", "kd", "lim"))
+            for name in ("lin_pos", "lin_vel", "ang_pos", "z_pos", "z_vel")
+        }
     mmap = p(params.motor_map)  # (4, 4)
     mpos = p(params.motor.positions)  # (4, 3)
     ct = p(params.motor.thrust_coef)
@@ -207,6 +272,38 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
         contact = S[_CON]
         any_contact = jnp.zeros_like(contact)
 
+        if mode == 7:
+            ext = {
+                "lp": ([S[_LP_INT + i] for i in range(2)],
+                       [S[_LP_PRV + i] for i in range(2)]),
+                "lv": ([S[_LV_INT + i] for i in range(2)],
+                       [S[_LV_PRV + i] for i in range(2)]),
+                "ap": ([S[_AP_INT + i] for i in range(3)],
+                       [S[_AP_PRV + i] for i in range(3)]),
+                "zp": ([S[_ZP_INT]], [S[_ZP_PRV]]),
+                "zv": ([S[_ZV_INT]], [S[_ZV_PRV]]),
+            }
+
+            def pid_bank(key_, bank, meas, setp):
+                """Inline pid.step on the bank's register lists
+                (ops/pid.py:44-58 semantics, gains baked)."""
+                bkp, bki, bkd, blim = banks[bank]
+                ints, prvs = ext[key_]
+                outs = []
+                for i in range(len(meas)):
+                    err = setp[i] - meas[i]
+                    ints[i] = jnp.clip(
+                        ints[i] + bki[i] * err * period, -blim[i], blim[i]
+                    )
+                    deriv = bkd[i] * (err - prvs[i]) / period
+                    prvs[i] = err
+                    outs.append(
+                        jnp.clip(
+                            bkp[i] * err + ints[i] + deriv, -blim[i], blim[i]
+                        )
+                    )
+                return outs
+
         if env_fuse is not None:
             # env registers (rows 50-55) + per-agent-step init: reward is
             # re-armed to -0.1 unconditionally (quadx_base.py base_step sets
@@ -227,6 +324,23 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
         else:
             n_aviary = 1
 
+        def ext_flat():
+            """All mode-7 cascade PID registers as one flat list."""
+            regs = []
+            for k in ("lp", "lv", "ap", "zp", "zv"):
+                ints, prvs = ext[k]
+                regs += list(ints) + list(prvs)
+            return regs
+
+        def ext_restore(flat):
+            i = 0
+            for k in ("lp", "lv", "ap", "zp", "zv"):
+                ints, prvs = ext[k]
+                for j in range(len(ints)):
+                    ints[j] = flat[i]; i += 1
+                for j in range(len(prvs)):
+                    prvs[j] = flat[i]; i += 1
+
         for _a in range(n_aviary):
           if env_fuse is not None:
             done_before = jnp.minimum(jnp.maximum(term, trunc), 1.0)
@@ -235,6 +349,7 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                 list(avb), list(drg), list(thr), list(pwm), list(pint),
                 list(pprv), contact, rwd, term, trunc, coll, oobf,
             )
+            snap_ext = ext_flat() if mode == 7 else None
             any_contact = jnp.zeros_like(contact)
 
           for it in range(ratio):
@@ -243,10 +358,33 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                 if mode == 8:
                     # direct PWM (quadx.py:452-454); saturation still applies
                     raw = [sp[0], sp[1], sp[2], sp[3]]
-                else:  # mode 0: ang_vel PID + z clip (quadx.py:465-561)
+                else:  # modes 0/7: PID cascade + z clip (quadx.py:465-561)
+                    if mode == 7:
+                        # position cascade: lin_pos -> yaw frame -> lin_vel
+                        # -> axis swap -> ang_pos, z_pos -> z_vel
+                        xy = pid_bank(
+                            "lp", "lin_pos",
+                            [view[9], view[10]], [sp[0], sp[1]],
+                        )
+                        cy, sy = jnp.cos(view[5]), jnp.sin(view[5])
+                        xy = [cy * xy[0] + sy * xy[1],
+                              -sy * xy[0] + cy * xy[1]]
+                        xy = pid_bank("lv", "lin_vel", [view[6], view[7]], xy)
+                        xy = [-xy[1], xy[0]]  # ENU swap (quadx.py:472-515)
+                        a_sp = pid_bank(
+                            "ap", "ang_pos",
+                            [view[3], view[4], view[5]],
+                            [xy[0], xy[1], sp[2]],
+                        )
+                        z1 = pid_bank("zp", "z_pos", [view[11]], [sp[3]])
+                        z1 = pid_bank("zv", "z_vel", [view[8]], z1)
+                        z_cmd = jnp.clip(z1[0], 0.0, 1.0)
+                    else:  # mode 0: setpoint IS the ang_vel command
+                        a_sp = [sp[0], sp[1], sp[2]]
+                        z_cmd = jnp.clip(sp[3], 0.0, 1.0)
                     cmd = []
                     for i in range(3):
-                        err = sp[i] - view[0 + i]  # view rows 0-2 = ang_vel
+                        err = a_sp[i] - view[0 + i]  # view rows 0-2 = ang_vel
                         pint[i] = jnp.clip(
                             pint[i] + ki[i] * err * period, -lim[i], lim[i]
                         )
@@ -255,7 +393,7 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                         cmd.append(
                             jnp.clip(kp[i] * err + pint[i] + deriv, -lim[i], lim[i])
                         )
-                    cmd.append(jnp.clip(sp[3], 0.0, 1.0))
+                    cmd.append(z_cmd)
                     raw = [
                         mmap[m, 0] * cmd[0] + mmap[m, 1] * cmd[1]
                         + mmap[m, 2] * cmd[2] + mmap[m, 3] * cmd[3]
@@ -426,6 +564,10 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             pwm = [sel(o, n_) for o, n_ in zip(s_pwm, pwm)]
             pint = [sel(o, n_) for o, n_ in zip(s_pint, pint)]
             pprv = [sel(o, n_) for o, n_ in zip(s_pprv, pprv)]
+            if mode == 7:
+                ext_restore(
+                    [sel(o, n_) for o, n_ in zip(snap_ext, ext_flat())]
+                )
             contact = sel(s_con, contact)
             rwd = sel(s_rwd, rwd_c)
             term = sel(s_term, term_c)
@@ -434,7 +576,7 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             oobf = sel(s_oobf, oobf_c)
 
         # ---- pack back
-        out = [None] * ROWS
+        out = [None] * rows_for(mode)
         for i in range(3):
             out[_POS + i] = pos[i]
             out[_LVEL + i] = lvel[i]
@@ -459,9 +601,21 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             out[_OOB] = oobf
             out[_STEP] = stepc + 1.0  # post-scan increment, unconditional
         else:
-            zero = jnp.zeros_like(contact)
             out[_CON + 1] = any_contact
-            for i in range(_CON + 2, ROWS):
+        if mode == 7:
+            flat = ext_flat()
+            base_rows = [
+                _LP_INT, _LP_INT + 1, _LP_PRV, _LP_PRV + 1,
+                _LV_INT, _LV_INT + 1, _LV_PRV, _LV_PRV + 1,
+                _AP_INT, _AP_INT + 1, _AP_INT + 2,
+                _AP_PRV, _AP_PRV + 1, _AP_PRV + 2,
+                _ZP_INT, _ZP_PRV, _ZV_INT, _ZV_PRV,
+            ]
+            for r, v in zip(base_rows, flat):
+                out[r] = v
+        zero = jnp.zeros_like(contact)
+        for i in range(len(out)):  # spare/pad rows
+            if out[i] is None:
                 out[i] = zero
         o_ref[:] = jnp.stack(out, axis=0)
 
@@ -495,9 +649,13 @@ def packed_step(
         num_scalar_prefetch=1,
         grid=(lanes // tile,),
         in_specs=[
-            pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
+            pl.BlockSpec(
+                (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
+            ),
         ],
-        out_specs=pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
+        out_specs=pl.BlockSpec(
+            (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -540,9 +698,13 @@ def packed_hover_step(
         num_scalar_prefetch=1,
         grid=(lanes // tile,),
         in_specs=[
-            pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
+            pl.BlockSpec(
+                (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
+            ),
         ],
-        out_specs=pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
+        out_specs=pl.BlockSpec(
+            (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -558,8 +720,9 @@ def step(
     mode: int,
     key: Array | None = None,
 ) -> tuple[quadx.QuadXState, Array]:
-    """Drop-in for ``quadx.step`` (batched (N,) states, modes 0/8, no wind)."""
-    packed = pack_state(state)
+    """Drop-in for ``quadx.step`` (batched (N,) states, modes 0/7/8, no
+    wind)."""
+    packed = pack_state(state, mode)
     if key is not None and key.ndim == 2:
         key = key[0]
     seed = (

@@ -12,7 +12,7 @@ action spaces).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -22,11 +22,16 @@ from jax import Array
 class MLP(nn.Module):
     sizes: Sequence[int]
     activate_last: bool = True
+    dtype: Any = jnp.float32  # computation dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for i, size in enumerate(self.sizes):
-            x = nn.Dense(size, kernel_init=nn.initializers.orthogonal(jnp.sqrt(2.0)))(x)
+            x = nn.Dense(
+                size,
+                kernel_init=nn.initializers.orthogonal(jnp.sqrt(2.0)),
+                dtype=self.dtype,
+            )(x)
             if self.activate_last or i < len(self.sizes) - 1:
                 x = nn.tanh(x)
         return x
@@ -52,15 +57,23 @@ class ActorCritic(nn.Module):
     # inflates mid-training and destroys the policy — a hard range keeps
     # exploration inside the useful action band. None = unclamped.
     log_std_range: tuple[float, float] | None = None
+    # MXU computation dtype: bfloat16 doubles the v5e matmul rate; the
+    # parameters, gradients and Adam state stay float32 (mixed precision).
+    # Outputs are cast back to float32 so the PPO loss math is unchanged.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, obs: Array) -> tuple[Array, Array, Array]:
         """Returns (action_mean, log_std, value)."""
-        pi = MLP((*self.feature_sizes, *self.pi_sizes), name="pi_trunk")(obs)
+        pi = MLP(
+            (*self.feature_sizes, *self.pi_sizes), name="pi_trunk",
+            dtype=self.dtype,
+        )(obs)
         mean = nn.Dense(
             self.action_dim,
             kernel_init=nn.initializers.orthogonal(0.01),
             name="pi_head",
+            dtype=self.dtype,
         )(pi)
         log_std = self.param(
             "log_std",
@@ -70,10 +83,16 @@ class ActorCritic(nn.Module):
         if self.log_std_range is not None:
             log_std = jnp.clip(log_std, *self.log_std_range)
 
-        vf = MLP((*self.feature_sizes, *self.vf_sizes), name="vf_trunk")(obs)
+        vf = MLP(
+            (*self.feature_sizes, *self.vf_sizes), name="vf_trunk",
+            dtype=self.dtype,
+        )(obs)
         value = nn.Dense(
-            1, kernel_init=nn.initializers.orthogonal(1.0), name="vf_head"
+            1, kernel_init=nn.initializers.orthogonal(1.0), name="vf_head",
+            dtype=self.dtype,
         )(vf)
+        mean = mean.astype(jnp.float32)
+        value = value.astype(jnp.float32)
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
 
 

@@ -61,6 +61,10 @@ class PPOConfig:
     # for envs with reset-time stabilization; 0 disables (exact per-step
     # resets). Value = the cache refresh PERIOD in steps.
     cached_reset_refresh: int = 0
+    # network computation dtype ("float32" | "bfloat16"): bfloat16 runs the
+    # policy/value matmuls at the v5e MXU's double rate; params/grads/Adam
+    # stay float32 and the loss math is float32 (networks.ActorCritic.dtype)
+    compute_dtype: str = "float32"
 
     @property
     def batch_size(self) -> int:
@@ -123,6 +127,7 @@ class PPO:
             vf_sizes=config.vf_sizes,
             init_log_std=config.init_log_std,
             log_std_range=config.log_std_range,
+            dtype=jnp.dtype(config.compute_dtype),
         )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.max_grad_norm),
@@ -292,11 +297,24 @@ class PPO:
             key, perm_key = jax.random.split(key)
             perm = jax.random.permutation(perm_key, cfg.batch_size)
 
-            def minibatch(carry, idx):
+            # ONE whole-batch gather per epoch, then the SGD scan walks
+            # contiguous minibatch slices: identical data order to gathering
+            # perm.reshape(...)[i] inside the loop (the minibatches are
+            # disjoint), but num_minibatches-1 fewer random gathers per epoch
+            def shuffle(x):
+                return x[perm].reshape(
+                    (cfg.num_minibatches, cfg.minibatch_size) + x.shape[1:]
+                )
+
+            mbs = (
+                jax.tree.map(shuffle, flat),
+                shuffle(flat_adv),
+                shuffle(flat_ret),
+            )
+
+            def minibatch(carry, mb_data):
                 params, opt_state = carry
-                mb = jax.tree.map(lambda x: x[idx], flat)
-                mb_adv = flat_adv[idx]
-                mb_ret = flat_ret[idx]
+                mb, mb_adv, mb_ret = mb_data
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, mb, mb_adv, mb_ret)
@@ -304,9 +322,8 @@ class PPO:
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
 
-            idxs = perm.reshape(cfg.num_minibatches, cfg.minibatch_size)
             (params, opt_state), metrics = jax.lax.scan(
-                minibatch, (params, opt_state), idxs
+                minibatch, (params, opt_state), mbs
             )
             return (params, opt_state, key), metrics
 

@@ -94,6 +94,46 @@ def test_step_trajectory_matches_xla_env():
     assert some_done, "test should exercise the termination/freeze path"
 
 
+def test_mode7_step_trajectory_matches_xla_env():
+    """The fused env in mode 7 (position-PID cascade in-kernel): obs,
+    rewards, the five extra PID banks' freeze semantics and terminations
+    track the XLA env."""
+    # tight dome (spawn at z=1.0 -> |pos|=1.0): the escape half only needs
+    # to climb 0.5 m to cross it, so the done/freeze path fires within the
+    # 48-step horizon (descending to ground contact takes >1.5 s — too slow)
+    base, penv = _envs(flight_mode=7, flight_dome_size=1.5)
+    keys = jax.random.split(jax.random.PRNGKey(21), N)
+    ref_st, _ = vec_reset(base, keys)
+    pk_st, _ = penv.reset(keys)
+    vstep = jax.jit(jax.vmap(base.step))
+    pstep = jax.jit(penv.step)
+    # position setpoints: half hold near spawn (|target| ~ 1.2 < dome),
+    # half commanded to climb out of the dome (out_of_bounds termination)
+    tgt = jnp.tile(jnp.asarray([0.1, -0.1, 0.2, 1.2]), (N, 1))
+    tgt = tgt.at[: N // 2, 3].set(2.5)
+    some_done = False
+    for i in range(48):
+        ref_st, ref_out = vstep(ref_st, tgt)
+        pk_st, out = pstep(pk_st, tgt)
+        # tolerance grows with the chain: the 5-bank cascade + polynomial
+        # atan2 accumulate ~2e-5/step of f32 drift over 6 integrations/step
+        tol = 5e-4 + 1e-4 * i
+        np.testing.assert_allclose(
+            np.asarray(out.obs), np.asarray(ref_out.obs), atol=tol,
+            err_msg=f"step {i} obs",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.reward), np.asarray(ref_out.reward), atol=tol,
+            err_msg=f"step {i} reward",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.termination), np.asarray(ref_out.termination),
+            err_msg=f"step {i} termination",
+        )
+        some_done |= bool(jnp.any(ref_out.termination))
+    assert some_done, "the ground-commanded half should terminate"
+
+
 def test_truncation_matches():
     base, penv = _envs(max_duration_seconds=0.1)  # max_steps = 4
     keys = jax.random.split(jax.random.PRNGKey(2), N)

@@ -45,16 +45,23 @@ def _random_state(cfg, params, n=256, seed=0):
     return st.replace(read=quadx.update_state(st.body, cfg))
 
 
-@pytest.mark.parametrize("mode", [0, 8])
+@pytest.mark.parametrize("mode", [0, 7, 8])
 def test_kernel_matches_xla(mode):
     cfg = quadx.QuadXConfig(noisy_motors=False)
     params = quadx.build_params(cfg)
     st = _random_state(cfg, params)
-    sp = jax.random.uniform(
-        jax.random.PRNGKey(7), (256, 4), minval=-0.3, maxval=0.3
-    ).at[:, 3].set(0.4)
-    if mode == 8:
-        sp = jnp.abs(sp)
+    if mode == 7:
+        st = quadx.set_mode(st, 7, cfg)
+        # position setpoints [x, y, yaw, z] around the spawn region
+        sp = jax.random.uniform(
+            jax.random.PRNGKey(7), (256, 4), minval=-2.0, maxval=2.0
+        ).at[:, 3].set(5.0)
+    else:
+        sp = jax.random.uniform(
+            jax.random.PRNGKey(7), (256, 4), minval=-0.3, maxval=0.3
+        ).at[:, 3].set(0.4)
+        if mode == 8:
+            sp = jnp.abs(sp)
     st = st.replace(setpoint=sp)
 
     ref, ref_contact = quadx.step(st, params, cfg, mode)
@@ -99,6 +106,69 @@ def test_kernel_multi_step_trajectory():
     np.testing.assert_allclose(
         np.asarray(out.body.quat), np.asarray(ref.body.quat), atol=5e-4
     )
+
+
+def test_kernel_mode7_trajectory_and_pid_state():
+    """15 chained mode-7 steps: the full position cascade's five PID banks
+    accumulate identically to the XLA path (integral + prev_error compared
+    bank by bank)."""
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params, n=128, seed=7)
+    st = quadx.set_mode(st, 7, cfg)
+    st = st.replace(
+        setpoint=jnp.tile(jnp.asarray([1.0, -1.0, 0.5, 6.0]), (128, 1))
+    )
+    ref = out = st
+    for _ in range(15):
+        ref, _ = quadx.step(ref, params, cfg, 7)
+        out, _ = pallas_quadx.step(out, params, cfg, 7)
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body.quat), np.asarray(ref.body.quat), atol=5e-4
+    )
+    for bank in ("ang_vel", "ang_pos", "lin_vel", "lin_pos", "z_pos", "z_vel"):
+        o = getattr(out.pids, bank)
+        r = getattr(ref.pids, bank)
+        np.testing.assert_allclose(
+            np.asarray(o.integral), np.asarray(r.integral), atol=1e-4,
+            err_msg=f"{bank} integral",
+        )
+        np.testing.assert_allclose(
+            np.asarray(o.prev_error), np.asarray(r.prev_error), atol=4e-3,
+            err_msg=f"{bank} prev_error",
+        )
+
+
+def test_mode7_pack_unpack_roundtrip():
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params, n=128, seed=9)
+    st = quadx.set_mode(st, 7, cfg)
+    # non-trivial PID state in every bank
+    k = jax.random.PRNGKey(11)
+    pids = st.pids
+    for i, bank in enumerate(
+        ("ang_vel", "ang_pos", "lin_vel", "lin_pos", "z_pos", "z_vel")
+    ):
+        b = getattr(pids, bank)
+        pids = pids.replace(**{bank: b.replace(
+            integral=jax.random.normal(jax.random.fold_in(k, 2 * i), b.integral.shape),
+            prev_error=jax.random.normal(jax.random.fold_in(k, 2 * i + 1), b.prev_error.shape),
+        )})
+    st = st.replace(pids=pids)
+    packed = pallas_quadx.pack_state(st, 7)
+    assert packed.shape == (pallas_quadx.ROWS_MODE7, 8, 16)
+    st2 = pallas_quadx.unpack_state(packed, st)
+    for bank in ("ang_vel", "ang_pos", "lin_vel", "lin_pos", "z_pos", "z_vel"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st2.pids, bank).integral),
+            np.asarray(getattr(st.pids, bank).integral),
+            err_msg=bank,
+        )
+    np.testing.assert_array_equal(np.asarray(st2.body.pos), np.asarray(st.body.pos))
 
 
 def test_pack_unpack_roundtrip():
