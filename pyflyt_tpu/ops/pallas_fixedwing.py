@@ -198,35 +198,7 @@ def _bake(params: fixedwing.FixedwingParams, cfg: fixedwing.FixedwingConfig):
     )
 
 
-def _build_kernel(
-    params: fixedwing.FixedwingParams,
-    cfg: fixedwing.FixedwingConfig,
-    mode: int,
-    noisy: bool,
-    env_fuse: dict | None = None,
-):
-    """Bakes the concrete parameters into a kernel body.
-
-    ``env_fuse`` fuses the WHOLE waypoints-env agent step
-    (envs/fixedwing_base.py base_step + envs/fixedwing_waypoints.py
-    _task_update) into the kernel: ``inner_steps`` aviary steps with per-step
-    waypoint distance tracking, reward shaping, target advancement,
-    termination/truncation and the done-freeze. Keys: ``inner_steps``,
-    ``dome``, ``max_steps``, ``sparse``, ``num_targets``, ``goal_dist``.
-    """
-    assert mode in (-1, 0), "fixedwing flight mode must be -1 or 0"
-    B = _bake(params, cfg)
-    dt = B["dt"]
-    g = 9.81
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    if env_fuse is not None:
-        NT = int(env_fuse["num_targets"])
-        assert NT * 3 <= 12, "row layout carries at most 4 targets"
-
-    def surface_wrench(si, act_s, lv, f, t):
+def _surface_wrench(B, si, act_s, lv, f, t):
         """Adds surface ``si``'s aero wrench (lifting_surfaces.py:337-484 of
         the reference, via ops/lifting_surfaces.py) onto (f, t) in place."""
         S = B["surf"][si]
@@ -302,6 +274,183 @@ def _build_kernel(
         pmk.add_scaled(t, fn, S["cl1"])
         pmk.add_scaled(t, fp, S["cl2"])
 
+
+def _control_cmd(B, mode, sp):
+    """Aviary control gate: raw actuators (mode -1) or the surface-assist map
+    (fixedwing.py:137-140, 226-247)."""
+    if mode == -1:
+        return list(sp)
+    return [
+        float(B["assist_signs"][j]) * sp[int(B["assist_ids"][j])]
+        for j in range(6)
+    ]
+
+
+def _drone_physics_iter(B, noisy, d, cmd):
+    """One 240 Hz physics iteration on register-resident fixedwing state.
+
+    ``d`` maps register names to lists of (sublane, lane) vregs: ``pos``[3],
+    ``quat``[4], ``lvel``[3], ``avel``[3], ``view``[12], ``slv``[15],
+    ``act``[5], ``thr``, ``contact``; mutated in place. The chain is
+    models/fixedwing.py physics_iter: actuator lag -> aero + motor wrench
+    from the LAGGED read -> fresh read snapshot -> semi-implicit Euler with
+    the baked full 3x3 inertia -> detection-grade ground contact. Returns the
+    pre-integration body->world rotation matrix (9 registers) for task use.
+    Shared by the waypoints kernel below and ops/pallas_dogfight.py (which
+    runs it once per drone bank of the arena lane).
+    """
+    dt = B["dt"]
+    g = 9.81
+    act, slv = d["act"], d["slv"]
+    pos, quat, lvel, avel = d["pos"], d["quat"], d["lvel"], d["avel"]
+    thr = d["thr"]
+
+    # actuator lags (lifting_surfaces.py:266, motors.py:126-134)
+    for si in range(5):
+        act[si] = act[si] + (dt / B["surf_tau"][si]) * (cmd[si] - act[si])
+    thr = thr + (dt / B["mot_tau"]) * (cmd[5] - thr)
+    if noisy:
+        thr = thr + pmk.make_normal(thr.shape) * thr * B["mot_noise"]
+
+    # wrench from the LAGGED read state
+    f = [jnp.zeros_like(thr) for _ in range(3)]
+    t = [jnp.zeros_like(thr) for _ in range(3)]
+    for si in range(5):
+        _surface_wrench(B, si, act[si], slv[3 * si : 3 * si + 3], f, t)
+    rpm = thr * B["mot_max_rpm"]
+    rc = rpm * rpm * jnp.sign(rpm)
+    pmk.add_scaled(f, rc, B["mot_f"])
+    pmk.add_scaled(t, rc, B["mot_t"])
+
+    # rotation matrix from quat (body->world)
+    R = pmk.quat_rotmat(quat)
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
+
+    # ---- NEW read snapshot from the pre-integration state
+    # (models/fixedwing.py update_state: one-iteration sensor lag)
+    Rcom = [
+        pmk.dot_const([r00, r01, r02], B["com"]),
+        pmk.dot_const([r10, r11, r12], B["com"]),
+        pmk.dot_const([r20, r21, r22], B["com"]),
+    ]
+    base_pos = [pos[i] - Rcom[i] for i in range(3)]
+    # base_vel = v_com + omega x (-R com)
+    bvx = lvel[0] - (avel[1] * Rcom[2] - avel[2] * Rcom[1])
+    bvy = lvel[1] - (avel[2] * Rcom[0] - avel[0] * Rcom[2])
+    bvz = lvel[2] - (avel[0] * Rcom[1] - avel[1] * Rcom[0])
+    lvb = [
+        r00 * bvx + r10 * bvy + r20 * bvz,
+        r01 * bvx + r11 * bvy + r21 * bvz,
+        r02 * bvx + r12 * bvy + r22 * bvz,
+    ]
+    avb = [
+        r00 * avel[0] + r10 * avel[1] + r20 * avel[2],
+        r01 * avel[0] + r11 * avel[1] + r21 * avel[2],
+        r02 * avel[0] + r12 * avel[1] + r22 * avel[2],
+    ]
+    roll, pitch, yaw = pmk.quat_to_euler(quat)
+    new_view = [
+        avb[0], avb[1], avb[2], roll, pitch, yaw,
+        lvb[0], lvb[1], lvb[2],
+        base_pos[0], base_pos[1], base_pos[2],
+    ]
+    new_slv = []
+    for si in range(5):
+        # world offset of the surface link: R (r_s - r_com)
+        r_s = B["surf"][si]["r_s"]
+        rsw = [
+            pmk.dot_const([r00, r01, r02], r_s),
+            pmk.dot_const([r10, r11, r12], r_s),
+            pmk.dot_const([r20, r21, r22], r_s),
+        ]
+        vsx = lvel[0] + (avel[1] * rsw[2] - avel[2] * rsw[1])
+        vsy = lvel[1] + (avel[2] * rsw[0] - avel[0] * rsw[2])
+        vsz = lvel[2] + (avel[0] * rsw[1] - avel[1] * rsw[0])
+        new_slv += [
+            r00 * vsx + r10 * vsy + r20 * vsz,
+            r01 * vsx + r11 * vsy + r21 * vsz,
+            r02 * vsx + r12 * vsy + r22 * vsz,
+        ]
+
+    # ---- integrate (semi-implicit Euler, full-tensor body Euler eqns)
+    fwx = r00 * f[0] + r01 * f[1] + r02 * f[2]
+    fwy = r10 * f[0] + r11 * f[1] + r12 * f[2]
+    fwz = r20 * f[0] + r21 * f[1] + r22 * f[2]
+    im = B["inv_mass"]
+    lvel = [
+        lvel[0] + dt * (fwx * im),
+        lvel[1] + dt * (fwy * im),
+        lvel[2] + dt * (fwz * im - g),
+    ]
+    ob = avb  # R^T omega_w, already computed for the read
+    Iw = pmk.matvec_const(B["inertia"], ob)
+    gy = [
+        ob[1] * Iw[2] - ob[2] * Iw[1],
+        ob[2] * Iw[0] - ob[0] * Iw[2],
+        ob[0] * Iw[1] - ob[1] * Iw[0],
+    ]
+    rhs = [t[i] - gy[i] for i in range(3)]
+    dob = pmk.matvec_const(B["inv_inertia"], rhs)
+    ob = [ob[i] + dt * dob[i] for i in range(3)]
+    avel = [
+        r00 * ob[0] + r01 * ob[1] + r02 * ob[2],
+        r10 * ob[0] + r11 * ob[1] + r12 * ob[2],
+        r20 * ob[0] + r21 * ob[1] + r22 * ob[2],
+    ]
+    pos = [pos[i] + dt * lvel[i] for i in range(3)]
+    quat = pmk.quat_integrate(quat, avel, dt)
+
+    # ---- ground contact: detection + projection + inelastic stop
+    # (full impulse model lives in core/integrator.py; contact is
+    # fatal in every fixedwing task so only detection is observable)
+    x, y, z, w = quat
+    c20 = 2 * (x * z - w * y)
+    c21 = 2 * (y * z + w * x)
+    c22 = 1 - 2 * (x * x + y * y)
+    zmin = None
+    for pt in B["contact_pts"]:
+        zp = pmk.dot_const([c20, c21, c22], pt)
+        zmin = zp if zmin is None else jnp.minimum(zmin, zp)
+    depth = -(pos[2] + zmin)
+    hit = (depth > 0.0).astype(jnp.float32)
+    pos[2] = pos[2] + hit * jnp.maximum(depth, 0.0)
+    lvel = [
+        lvel[0], lvel[1],
+        jnp.where((hit > 0) & (lvel[2] < 0), 0.0, lvel[2]),
+    ]
+    d["pos"], d["quat"], d["lvel"], d["avel"] = pos, quat, lvel, avel
+    d["view"], d["slv"] = new_view, new_slv
+    d["thr"] = thr
+    d["contact"] = hit
+    return R
+
+
+def _build_kernel(
+    params: fixedwing.FixedwingParams,
+    cfg: fixedwing.FixedwingConfig,
+    mode: int,
+    noisy: bool,
+    env_fuse: dict | None = None,
+):
+    """Bakes the concrete parameters into a kernel body.
+
+    ``env_fuse`` fuses the WHOLE waypoints-env agent step
+    (envs/fixedwing_base.py base_step + envs/fixedwing_waypoints.py
+    _task_update) into the kernel: ``inner_steps`` aviary steps with per-step
+    waypoint distance tracking, reward shaping, target advancement,
+    termination/truncation and the done-freeze. Keys: ``inner_steps``,
+    ``dome``, ``max_steps``, ``sparse``, ``num_targets``, ``goal_dist``.
+    """
+    assert mode in (-1, 0), "fixedwing flight mode must be -1 or 0"
+    B = _bake(params, cfg)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if env_fuse is not None:
+        NT = int(env_fuse["num_targets"])
+        assert NT * 3 <= 12, "row layout carries at most 4 targets"
+
     def kernel(seed_ref, s_ref, o_ref):
         if noisy:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -360,134 +509,20 @@ def _build_kernel(
           for it in range(B["ratio"]):
             # ------------- control at iteration 0 (aviary.py:480-484)
             if it == 0:
-                if mode == -1:
-                    cmd = list(sp)  # raw 6-actuator commands
-                else:  # surface-assist map (fixedwing.py:137-140, 226-247)
-                    cmd = [
-                        float(B["assist_signs"][j]) * sp[int(B["assist_ids"][j])]
-                        for j in range(6)
-                    ]
+                cmd = _control_cmd(B, mode, sp)
 
-            # ------------- physics iteration (models/fixedwing.py physics_iter)
-            # actuator lags (lifting_surfaces.py:266, motors.py:126-134)
-            for si in range(5):
-                act[si] = act[si] + (dt / B["surf_tau"][si]) * (
-                    cmd[si] - act[si]
-                )
-            thr = thr + (dt / B["mot_tau"]) * (cmd[5] - thr)
-            if noisy:
-                thr = thr + pmk.make_normal(thr.shape) * thr * B["mot_noise"]
-
-            # wrench from the LAGGED read state
-            f = [jnp.zeros_like(thr) for _ in range(3)]
-            t = [jnp.zeros_like(thr) for _ in range(3)]
-            for si in range(5):
-                surface_wrench(si, act[si], slv[3 * si : 3 * si + 3], f, t)
-            rpm = thr * B["mot_max_rpm"]
-            rc = rpm * rpm * jnp.sign(rpm)
-            pmk.add_scaled(f, rc, B["mot_f"])
-            pmk.add_scaled(t, rc, B["mot_t"])
-
-            # rotation matrix from quat (body->world)
-            R = pmk.quat_rotmat(quat)
-            r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
-
-            # ---- NEW read snapshot from the pre-integration state
-            # (models/fixedwing.py update_state: one-iteration sensor lag)
-            Rcom = [
-                pmk.dot_const([r00, r01, r02], B["com"]),
-                pmk.dot_const([r10, r11, r12], B["com"]),
-                pmk.dot_const([r20, r21, r22], B["com"]),
-            ]
-            base_pos = [pos[i] - Rcom[i] for i in range(3)]
-            # base_vel = v_com + omega x (-R com)
-            bvx = lvel[0] - (avel[1] * Rcom[2] - avel[2] * Rcom[1])
-            bvy = lvel[1] - (avel[2] * Rcom[0] - avel[0] * Rcom[2])
-            bvz = lvel[2] - (avel[0] * Rcom[1] - avel[1] * Rcom[0])
-            lvb = [
-                r00 * bvx + r10 * bvy + r20 * bvz,
-                r01 * bvx + r11 * bvy + r21 * bvz,
-                r02 * bvx + r12 * bvy + r22 * bvz,
-            ]
-            avb = [
-                r00 * avel[0] + r10 * avel[1] + r20 * avel[2],
-                r01 * avel[0] + r11 * avel[1] + r21 * avel[2],
-                r02 * avel[0] + r12 * avel[1] + r22 * avel[2],
-            ]
-            roll, pitch, yaw = pmk.quat_to_euler(quat)
-            new_view = [
-                avb[0], avb[1], avb[2], roll, pitch, yaw,
-                lvb[0], lvb[1], lvb[2],
-                base_pos[0], base_pos[1], base_pos[2],
-            ]
-            new_slv = []
-            for si in range(5):
-                # world offset of the surface link: R (r_s - r_com)
-                r_s = B["surf"][si]["r_s"]
-                rsw = [
-                    pmk.dot_const([r00, r01, r02], r_s),
-                    pmk.dot_const([r10, r11, r12], r_s),
-                    pmk.dot_const([r20, r21, r22], r_s),
-                ]
-                vsx = lvel[0] + (avel[1] * rsw[2] - avel[2] * rsw[1])
-                vsy = lvel[1] + (avel[2] * rsw[0] - avel[0] * rsw[2])
-                vsz = lvel[2] + (avel[0] * rsw[1] - avel[1] * rsw[0])
-                new_slv += [
-                    r00 * vsx + r10 * vsy + r20 * vsz,
-                    r01 * vsx + r11 * vsy + r21 * vsz,
-                    r02 * vsx + r12 * vsy + r22 * vsz,
-                ]
-
-            # ---- integrate (semi-implicit Euler, full-tensor body Euler eqns)
-            fwx = r00 * f[0] + r01 * f[1] + r02 * f[2]
-            fwy = r10 * f[0] + r11 * f[1] + r12 * f[2]
-            fwz = r20 * f[0] + r21 * f[1] + r22 * f[2]
-            im = B["inv_mass"]
-            lvel = [
-                lvel[0] + dt * (fwx * im),
-                lvel[1] + dt * (fwy * im),
-                lvel[2] + dt * (fwz * im - g),
-            ]
-            ob = avb  # R^T omega_w, already computed for the read
-            Iw = pmk.matvec_const(B["inertia"], ob)
-            gy = [
-                ob[1] * Iw[2] - ob[2] * Iw[1],
-                ob[2] * Iw[0] - ob[0] * Iw[2],
-                ob[0] * Iw[1] - ob[1] * Iw[0],
-            ]
-            rhs = [t[i] - gy[i] for i in range(3)]
-            dob = pmk.matvec_const(B["inv_inertia"], rhs)
-            ob = [ob[i] + dt * dob[i] for i in range(3)]
-            avel = [
-                r00 * ob[0] + r01 * ob[1] + r02 * ob[2],
-                r10 * ob[0] + r11 * ob[1] + r12 * ob[2],
-                r20 * ob[0] + r21 * ob[1] + r22 * ob[2],
-            ]
-            pos = [pos[i] + dt * lvel[i] for i in range(3)]
-            quat = pmk.quat_integrate(quat, avel, dt)
-
-            # ---- ground contact: detection + projection + inelastic stop
-            # (full impulse model lives in core/integrator.py; contact is
-            # fatal in every fixedwing task so only detection is observable)
-            x, y, z, w = quat
-            c20 = 2 * (x * z - w * y)
-            c21 = 2 * (y * z + w * x)
-            c22 = 1 - 2 * (x * x + y * y)
-            zmin = None
-            for pt in B["contact_pts"]:
-                zp = pmk.dot_const([c20, c21, c22], pt)
-                zmin = zp if zmin is None else jnp.minimum(zmin, zp)
-            depth = -(pos[2] + zmin)
-            hit = (depth > 0.0).astype(jnp.float32)
-            pos[2] = pos[2] + hit * jnp.maximum(depth, 0.0)
-            lvel = [
-                lvel[0], lvel[1],
-                jnp.where((hit > 0) & (lvel[2] < 0), 0.0, lvel[2]),
-            ]
-            contact = hit
-            any_contact = jnp.maximum(any_contact, hit)
-            view = new_view
-            slv = new_slv
+            # ------------- physics iteration (models/fixedwing.py
+            # physics_iter), shared with the dogfight kernel
+            d = {
+                "pos": pos, "quat": quat, "lvel": lvel, "avel": avel,
+                "view": view, "slv": slv, "act": act, "thr": thr,
+                "contact": contact,
+            }
+            R = _drone_physics_iter(B, noisy, d, cmd)
+            pos, quat, lvel, avel = d["pos"], d["quat"], d["lvel"], d["avel"]
+            view, slv, act, thr = d["view"], d["slv"], d["act"], d["thr"]
+            contact = d["contact"]
+            any_contact = jnp.maximum(any_contact, contact)
 
           if env_fuse is not None:
             # ---- fused task update (fixedwing_waypoints.py _task_update) on
