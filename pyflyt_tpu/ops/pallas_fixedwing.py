@@ -198,81 +198,94 @@ def _bake(params: fixedwing.FixedwingParams, cfg: fixedwing.FixedwingConfig):
     )
 
 
+def surface_normal_forward(S, act_s, lv):
+    """One lifting surface's (fn, fp, qcm) scalars from its lagged local
+    velocity — the Khan-model core of lifting_surfaces.py:337-484 shared by
+    the fixedwing kernel (constant lever arms) and the rocket kernel
+    (register-valued, fuel-dependent lever arms — ops/pallas_rocket.py).
+
+    Returns (fn, fp, qcm): normal-axis force, forward-axis force and pitch
+    moment magnitudes to apply along ``S['lu']``/``S['du']``/``S['tu']``.
+    """
+    cl3d, cd0 = S["cl3d"], S["cd0"]
+    lifting = pmk.dot_const(lv, S["lu"])
+    forward = pmk.dot_const(lv, S["du"])
+    alpha = pmk.atan2(-lifting, forward)
+
+    if S["dlim_rad"] != 0.0:
+        defl = act_s * S["dlim_rad"]
+        dCl = (cl3d * S["atau"] * S["eta"]) * defl
+        dClmax = S["f2c"] * dCl
+        a0 = S["a0b"] - dCl / cl3d
+        asP = a0 + (cl3d * (S["asPb"] - S["a0b"]) + dClmax) / cl3d
+        asN = a0 + (cl3d * (S["asNb"] - S["a0b"]) + dClmax) / cl3d
+        Cd90 = (-4.26e-2 * defl * defl) + (2.1e-1 * defl) + 1.98
+    else:  # flapless surface: the whole flap branch is trace-time constant
+        a0 = S["a0b"]
+        asP, asN = S["asPb"], S["asNb"]
+        Cd90 = 1.98
+
+    # ---- no-stall linear regime
+    Cl_lin = cl3d * (alpha - a0)
+    ae = alpha - a0 - Cl_lin * S["piAR_inv"]
+    sae, cae = jnp.sin(ae), jnp.cos(ae)
+    CT = cd0 * cae
+    CN = (Cl_lin + CT * sae) / cae
+    Cd_lin = CN * sae + CT * cae
+    CM_lin = -CN * (0.25 - 0.175 * (1.0 - (2.0 / np.pi) * ae))
+
+    # ---- post-stall flat-plate model
+    aisP = (cl3d * (asP - a0)) * S["piAR_inv"]
+    aisN = (cl3d * (asN - a0)) * S["piAR_inv"]
+    tP = jnp.clip((alpha - asP) / (np.pi / 2.0 - asP), 0.0, 1.0)
+    tN = jnp.clip((alpha + np.pi / 2.0) / (asN + np.pi / 2.0), 0.0, 1.0)
+    ai_st = jnp.where(alpha > 0.0, aisP * (1.0 - tP), tN * aisN)
+    ae_st = alpha - a0 - ai_st
+    s_st, c_st = jnp.sin(ae_st), jnp.cos(ae_st)
+    CN_st = (
+        Cd90
+        * s_st
+        * (1.0 / (0.56 + 0.44 * jnp.abs(s_st)) - S["stall_c"])
+    )
+    CT_st = 0.5 * cd0 * c_st
+    Cl_st = CN_st * c_st - CT_st * s_st
+    Cd_st = CN_st * s_st + CT_st * c_st
+    CM_st = -CN_st * (
+        0.25 - 0.175 * (1.0 - (2.0 / np.pi) * jnp.abs(ae_st))
+    )
+
+    no_stall = (asN < alpha) & (alpha < asP)
+    Cl = jnp.where(no_stall, Cl_lin, Cl_st)
+    Cd = jnp.where(no_stall, Cd_lin, Cd_st)
+    CM = jnp.where(no_stall, CM_lin, CM_st)
+
+    # ---- sin/cos(alpha) algebraically (saves 2 transcendentals):
+    # alpha = atan2(-lifting, forward) => cos = fwd/h, sin = -lift/h.
+    free2 = lv[0] * lv[0] + lv[1] * lv[1] + lv[2] * lv[2]
+    hyp2 = lifting * lifting + forward * forward
+    degen = hyp2 < 1e-16
+    r_inv = jax.lax.rsqrt(jnp.where(degen, 1.0, hyp2))
+    sina = jnp.where(degen, 0.0, -lifting * r_inv)
+    cosa = jnp.where(degen, 1.0, forward * r_inv)
+    Q = S["qa"] * free2
+    lift = Cl * Q
+    drag = Cd * Q
+    fn = lift * cosa + drag * sina
+    fp = lift * sina - drag * cosa
+    qcm = Q * CM * S["chord"]
+    return fn, fp, qcm
+
+
 def _surface_wrench(B, si, act_s, lv, f, t):
-        """Adds surface ``si``'s aero wrench (lifting_surfaces.py:337-484 of
-        the reference, via ops/lifting_surfaces.py) onto (f, t) in place."""
-        S = B["surf"][si]
-        cl3d, cd0 = S["cl3d"], S["cd0"]
-        lifting = pmk.dot_const(lv, S["lu"])
-        forward = pmk.dot_const(lv, S["du"])
-        alpha = pmk.atan2(-lifting, forward)
-
-        if S["dlim_rad"] != 0.0:
-            defl = act_s * S["dlim_rad"]
-            dCl = (cl3d * S["atau"] * S["eta"]) * defl
-            dClmax = S["f2c"] * dCl
-            a0 = S["a0b"] - dCl / cl3d
-            asP = a0 + (cl3d * (S["asPb"] - S["a0b"]) + dClmax) / cl3d
-            asN = a0 + (cl3d * (S["asNb"] - S["a0b"]) + dClmax) / cl3d
-            Cd90 = (-4.26e-2 * defl * defl) + (2.1e-1 * defl) + 1.98
-        else:  # main wing: the whole flap branch is trace-time constant
-            a0 = S["a0b"]
-            asP, asN = S["asPb"], S["asNb"]
-            Cd90 = 1.98
-
-        # ---- no-stall linear regime
-        Cl_lin = cl3d * (alpha - a0)
-        ae = alpha - a0 - Cl_lin * S["piAR_inv"]
-        sae, cae = jnp.sin(ae), jnp.cos(ae)
-        CT = cd0 * cae
-        CN = (Cl_lin + CT * sae) / cae
-        Cd_lin = CN * sae + CT * cae
-        CM_lin = -CN * (0.25 - 0.175 * (1.0 - (2.0 / np.pi) * ae))
-
-        # ---- post-stall flat-plate model
-        aisP = (cl3d * (asP - a0)) * S["piAR_inv"]
-        aisN = (cl3d * (asN - a0)) * S["piAR_inv"]
-        tP = jnp.clip((alpha - asP) / (np.pi / 2.0 - asP), 0.0, 1.0)
-        tN = jnp.clip((alpha + np.pi / 2.0) / (asN + np.pi / 2.0), 0.0, 1.0)
-        ai_st = jnp.where(alpha > 0.0, aisP * (1.0 - tP), tN * aisN)
-        ae_st = alpha - a0 - ai_st
-        s_st, c_st = jnp.sin(ae_st), jnp.cos(ae_st)
-        CN_st = (
-            Cd90
-            * s_st
-            * (1.0 / (0.56 + 0.44 * jnp.abs(s_st)) - S["stall_c"])
-        )
-        CT_st = 0.5 * cd0 * c_st
-        Cl_st = CN_st * c_st - CT_st * s_st
-        Cd_st = CN_st * s_st + CT_st * c_st
-        CM_st = -CN_st * (
-            0.25 - 0.175 * (1.0 - (2.0 / np.pi) * jnp.abs(ae_st))
-        )
-
-        no_stall = (asN < alpha) & (alpha < asP)
-        Cl = jnp.where(no_stall, Cl_lin, Cl_st)
-        Cd = jnp.where(no_stall, Cd_lin, Cd_st)
-        CM = jnp.where(no_stall, CM_lin, CM_st)
-
-        # ---- wrench. sin/cos(alpha) algebraically (saves 2 transcendentals):
-        # alpha = atan2(-lifting, forward) => cos = fwd/h, sin = -lift/h.
-        free2 = lv[0] * lv[0] + lv[1] * lv[1] + lv[2] * lv[2]
-        hyp2 = lifting * lifting + forward * forward
-        degen = hyp2 < 1e-16
-        r_inv = jax.lax.rsqrt(jnp.where(degen, 1.0, hyp2))
-        sina = jnp.where(degen, 0.0, -lifting * r_inv)
-        cosa = jnp.where(degen, 1.0, forward * r_inv)
-        Q = S["qa"] * free2
-        lift = Cl * Q
-        drag = Cd * Q
-        fn = lift * cosa + drag * sina
-        fp = lift * sina - drag * cosa
-        qcm = Q * CM * S["chord"]
-        pmk.add_scaled(f, fn, S["lu"])
-        pmk.add_scaled(f, fp, S["du"])
-        pmk.add_scaled(t, qcm, S["tu"])
-        pmk.add_scaled(t, fn, S["cl1"])
-        pmk.add_scaled(t, fp, S["cl2"])
+    """Adds surface ``si``'s aero wrench onto (f, t) in place — constant
+    (baked) lever arms, so the torque crosses are concrete."""
+    S = B["surf"][si]
+    fn, fp, qcm = surface_normal_forward(S, act_s, lv)
+    pmk.add_scaled(f, fn, S["lu"])
+    pmk.add_scaled(f, fp, S["du"])
+    pmk.add_scaled(t, qcm, S["tu"])
+    pmk.add_scaled(t, fn, S["cl1"])
+    pmk.add_scaled(t, fp, S["cl2"])
 
 
 def _control_cmd(B, mode, sp):
