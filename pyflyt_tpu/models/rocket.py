@@ -215,7 +215,7 @@ def update_state(
     view = jnp.stack([ang_vel_b, euler, lin_vel_b, base_pos], axis=-2)
 
     def local_vel_at(points: Array) -> Array:
-        r = jnp.einsum("...ij,...nj->...ni", R, points - com)
+        r = jnp.einsum("...ij,...nj->...ni", R, points - com[..., None, :])
         v = body.lin_vel[..., None, :] + jnp.cross(body.ang_vel[..., None, :], r)
         if wind_fn is not None:
             v = v - wind_fn(physics_steps, body.pos[..., None, :] + r)

@@ -211,5 +211,5 @@ def wrench(
         + params.drag_unit * force_parallel[..., None]
     )
     torque = (Q_area * CM * params.chord)[..., None] * params.torque_unit
-    lever = jnp.cross(params.positions - com_offset, force)
+    lever = jnp.cross(params.positions - com_offset[..., None, :], force)
     return jnp.sum(force, axis=-2), jnp.sum(torque + lever, axis=-2)
