@@ -45,6 +45,72 @@ def bench_env(name, env, num_envs, steps, action):
     }), flush=True)
 
 
+def check_fused_parity():
+    """Real-lowering (Mosaic) parity gates for the fused kernels that the CPU
+    test suite can only exercise in interpret mode — and, for the dogfight,
+    only at raised agent rates (XLA:CPU compile of the 16-iteration stock
+    arena is intractable; see tests/test_pallas_dogfight.py). Noise off,
+    stock configs, a few chained agent steps vs the vmapped XLA envs."""
+    import numpy as np
+
+    from pyflyt_tpu.envs import FixedwingWaypointsEnv, RocketLandingEnv
+    from pyflyt_tpu.envs.base import vec_reset
+    from pyflyt_tpu.envs.ma_fixedwing_dogfight import MAFixedwingDogfightEnv
+    from pyflyt_tpu.envs.packed_dogfight import PackedMAFixedwingDogfightEnv
+    from pyflyt_tpu.envs.packed_fixedwing_waypoints import (
+        PackedFixedwingWaypointsEnv,
+    )
+    from pyflyt_tpu.envs.packed_rocket_landing import PackedRocketLandingEnv
+
+    n, steps = 64, 4
+
+    def gate(name, ref_step, ref_st, pk_step, pk_st, act, atol):
+        for i in range(steps):
+            ref_st, ref_out = ref_step(ref_st, act)
+            pk_st, out = pk_step(pk_st, act)
+            np.testing.assert_allclose(
+                np.asarray(out.obs), np.asarray(ref_out.obs),
+                atol=atol * (i + 1), err_msg=f"{name} step {i} obs",
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.reward), np.asarray(ref_out.reward),
+                atol=atol * (i + 1), rtol=1e-3,
+                err_msg=f"{name} step {i} reward",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out.termination), np.asarray(ref_out.termination),
+                err_msg=f"{name} step {i} termination",
+            )
+        print(json.dumps({"metric": f"{name} mosaic-parity", "value": 1,
+                          "unit": "ok"}), flush=True)
+
+    keys = jax.random.split(jax.random.PRNGKey(7), n)
+
+    fw = FixedwingWaypointsEnv(noisy_motors=False)
+    pfw = PackedFixedwingWaypointsEnv(base=fw)
+    ref_st, _ = vec_reset(fw, keys)
+    pk_st, _ = jax.jit(pfw.reset)(keys)
+    act = jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (n, 1))
+    gate("Fixedwing-Waypoints", jax.jit(jax.vmap(fw.step)), ref_st,
+         jax.jit(pfw.step), pk_st, act, atol=2e-3)
+
+    rk = RocketLandingEnv(noisy_boosters=False)
+    prk_env = PackedRocketLandingEnv(base=rk)
+    ref_st, _ = vec_reset(rk, keys)
+    pk_st, _ = jax.jit(prk_env.reset)(keys)
+    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (n, 1))
+    gate("Rocket-Landing", jax.jit(jax.vmap(rk.step)), ref_st,
+         jax.jit(prk_env.step), pk_st, act, atol=2e-3)
+
+    dg = MAFixedwingDogfightEnv(noisy_motors=False)
+    pdg_env = PackedMAFixedwingDogfightEnv(base=dg)
+    ref_st, _ = jax.jit(jax.vmap(dg.reset))(keys)
+    pk_st, _ = jax.jit(pdg_env.reset)(keys)
+    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (n, 2, 1))
+    gate("MA-Dogfight", jax.jit(jax.vmap(dg.step)), ref_st,
+         jax.jit(pdg_env.step), pk_st, act, atol=3e-3)
+
+
 def main():
     from pyflyt_tpu.envs import (
         FixedwingWaypointsEnv,
@@ -53,6 +119,8 @@ def main():
     )
     from pyflyt_tpu.envs.ma_fixedwing_dogfight import MAFixedwingDogfightEnv
     from pyflyt_tpu.rl import PPO, PPOConfig
+
+    check_fused_parity()
 
     bench_env(
         "QuadX-Hover", QuadXHoverEnv(), 8192, 128,
@@ -115,6 +183,28 @@ def main():
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1)),
     )
 
+    # fused-kernel rocket landing env (ops/pallas_rocket.py)
+    from pyflyt_tpu.envs.packed_rocket_landing import PackedRocketLandingEnv
+
+    renv = PackedRocketLandingEnv(base=RocketLandingEnv())
+    rkeys = jax.random.split(jax.random.PRNGKey(0), 4096)
+    rstate, _ = jax.jit(renv.reset)(rkeys)
+    ract = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1))
+
+    @jax.jit
+    def fused_rk_chunk(s):
+        def body(s, _):
+            s, out = renv.step(s, ract)
+            return s, out.reward
+        return jax.lax.scan(body, s, None, length=64)
+
+    dt = timeit(fused_rk_chunk, rstate)
+    print(json.dumps({
+        "metric": "Rocket-Landing fused-kernel env-steps/s (4096 envs)",
+        "value": round(4096 * 64 / dt),
+        "unit": "env-steps/s",
+    }), flush=True)
+
     # multi-agent dogfight (vmapped over matches)
     dog = MAFixedwingDogfightEnv()
     matches = 2048
@@ -132,6 +222,29 @@ def main():
     dt = timeit(dog_chunk, state)
     print(json.dumps({
         "metric": f"MA-Dogfight agent-steps/s ({matches} matches x 2 agents)",
+        "value": round(matches * 2 * 32 / dt),
+        "unit": "agent-steps/s",
+    }), flush=True)
+
+    # fused-kernel dogfight (ops/pallas_dogfight.py): both drones of an arena
+    # in one lane, whole agent step in one pallas_call
+    from pyflyt_tpu.envs.packed_dogfight import PackedMAFixedwingDogfightEnv
+
+    pdog = PackedMAFixedwingDogfightEnv(base=dog)
+    dkeys = jax.random.split(jax.random.PRNGKey(0), matches)
+    dstate, _ = jax.jit(pdog.reset)(dkeys)
+    dact = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (matches, 2, 1))
+
+    @jax.jit
+    def fused_dog_chunk(s):
+        def body(s, _):
+            s, out = pdog.step(s, dact)
+            return s, out.reward
+        return jax.lax.scan(body, s, None, length=32)
+
+    dt = timeit(fused_dog_chunk, dstate)
+    print(json.dumps({
+        "metric": f"MA-Dogfight fused-kernel agent-steps/s ({matches} matches)",
         "value": round(matches * 2 * 32 / dt),
         "unit": "agent-steps/s",
     }), flush=True)

@@ -83,6 +83,7 @@ class MAFixedwingDogfightEnv:
     agent_hz: int = 30
     drone_model: str = "acrowing"
     collision_radius: float = 0.5
+    noisy_motors: bool = True  # booster-noise toggle (parity testing)
 
     def __post_init__(self):
         if CONTROL_HZ % self.agent_hz != 0:
@@ -110,7 +111,9 @@ class MAFixedwingDogfightEnv:
     @functools.cached_property
     def cfg(self) -> fixedwing.FixedwingConfig:
         return fixedwing.FixedwingConfig(
-            drone_model=self.drone_model, control_hz=CONTROL_HZ
+            drone_model=self.drone_model,
+            control_hz=CONTROL_HZ,
+            noisy_motors=self.noisy_motors,
         )
 
     @functools.cached_property

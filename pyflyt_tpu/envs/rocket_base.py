@@ -63,6 +63,7 @@ class RocketBaseEnv:
     starting_fuel_ratio: float = 0.01  # landing env drone_options
     randomize_drop: bool = True
     accelerate_drop: bool = True
+    noisy_boosters: bool = True  # booster-noise toggle (parity testing)
 
     def __post_init__(self):
         if CONTROL_HZ % self.agent_hz != 0:
@@ -86,6 +87,7 @@ class RocketBaseEnv:
             drone_model=self.drone_model,
             control_hz=CONTROL_HZ,
             starting_fuel_ratio=self.starting_fuel_ratio,
+            noisy_boosters=self.noisy_boosters,
         )
 
     @functools.cached_property

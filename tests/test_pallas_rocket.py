@@ -7,8 +7,6 @@ observes post-contact dynamics, so resting/settling must match, not just
 detection).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -171,22 +169,15 @@ def _low_env(**kw):
         randomize_drop=False,  # keep the 8 m drop: ground inside 60 steps
         accelerate_drop=False,
         starting_fuel_ratio=0.30,
+        noisy_boosters=False,
         **kw,
     )
-
-
-def _noiseless(env):
-    base = dataclasses.replace(env)
-    cfg = dataclasses.replace(base.cfg, noisy_boosters=False)
-    base.__dict__["cfg"] = cfg  # cached_property backing store
-    base.__dict__["params"] = rocket.build_params(cfg)
-    return base
 
 
 def test_env_trajectory_matches_xla():
     """Low-altitude drop through the fused env: shaped rewards, pad flags,
     ground termination and the done-freeze track the XLA env."""
-    base = _noiseless(_low_env())
+    base = _low_env()
     penv = PackedRocketLandingEnv(base=base)
     keys = jax.random.split(jax.random.PRNGKey(5), N)
     ref_st, ref_obs = vec_reset(base, keys)
