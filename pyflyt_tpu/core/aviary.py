@@ -285,15 +285,20 @@ class Aviary:
         physics_hz: int = 240,
         wind_fn=None,
         obstacles=None,
+        obstacle_response: bool = False,
     ):
         """``obstacles``: optional ``pyflyt_tpu.core.camera.Boxes`` of static
         scene geometry — the functional analogue of ``loadOBJ`` +
         ``register_all_new_bodies`` (core/utils/load_objs.py:8-46,
         aviary.py:309): obstacle proximity feeds the per-drone contact flags
-        and the boxes render in third-person views. Detection only — unlike
-        PyBullet, obstacles do not apply reaction forces (every task treats
-        obstacle contact as terminal, so the post-contact state is never
-        consumed)."""
+        and the boxes render in third-person views. By default detection
+        only (every stock task treats obstacle contact as terminal, so the
+        post-contact state is never consumed); ``obstacle_response=True``
+        additionally applies a restitution-0 impulse + positional projection
+        per physics iteration — the sphere-proxy analogue of PyBullet's
+        collision response for custom user scenes (the drone's bounding
+        sphere vs each OBB, approaching normal velocity cancelled; no
+        contact torque since the proxy sphere is centred on the CoM)."""
         import numpy as np
 
         self.start_pos = np.asarray(start_pos, dtype=np.float32)
@@ -310,6 +315,7 @@ class Aviary:
         self.physics_hz = physics_hz
         self.wind_fn = wind_fn
         self.obstacles = obstacles
+        self.obstacle_response = obstacle_response and obstacles is not None
         self.handles = [
             _HANDLE_TYPES[s.drone_type](s, physics_hz) for s in specs
         ]
@@ -454,6 +460,46 @@ class Aviary:
         d2 = jnp.sum((local - clamped) ** 2, axis=-1)  # (n, k)
         return jnp.any(d2 < (radii[:, None] ** 2), axis=-1)
 
+    def _obstacle_impulse(self, body, radius: float):
+        """Restitution-0 sphere-vs-OBB response: project the body out of the
+        deepest-penetrating box and cancel the approaching normal velocity.
+        The sphere-proxy analogue of PyBullet's rigid contact solve for
+        ``loadOBJ`` scene bodies (core/utils/load_objs.py:8-46); no torque
+        (the proxy sphere is centred on the CoM)."""
+        ob = self.obstacles
+        rel = body.pos[None, :] - ob.centers  # (k, 3)
+        local = jnp.einsum("kij,kj->ki", jnp.swapaxes(ob.rotations, -1, -2), rel)
+        clamped = jnp.clip(local, -ob.half_extents, ob.half_extents)
+        delta = local - clamped
+        d2 = jnp.sum(delta * delta, axis=-1)  # (k,)
+        outside = d2 > 1e-12
+        dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+        n_out = delta / dist[:, None]
+        # centre inside the box: push out along the least-penetrated face
+        face_gap = ob.half_extents - jnp.abs(local)  # (k, 3) >= 0 here
+        axis = jnp.argmin(face_gap, axis=-1)
+        sign = jnp.sign(
+            jnp.take_along_axis(local, axis[:, None], axis=-1)[:, 0]
+        )
+        n_in = jnp.where(sign[:, None] == 0.0, 1.0, sign[:, None]) * jax.nn.one_hot(
+            axis, 3, dtype=local.dtype
+        )
+        pen = jnp.where(
+            outside,
+            radius - dist,
+            radius + jnp.min(face_gap, axis=-1),
+        )
+        n_local = jnp.where(outside[:, None], n_out, n_in)
+        n_world = jnp.einsum("kij,kj->ki", ob.rotations, n_local)
+        k_best = jnp.argmax(pen)
+        pen_b = jnp.maximum(pen[k_best], 0.0)
+        hit = pen[k_best] > 0.0
+        n_b = n_world[k_best]
+        v_n = jnp.minimum(jnp.dot(body.lin_vel, n_b), 0.0)
+        pos = jnp.where(hit, body.pos + pen_b * n_b, body.pos)
+        lin_vel = jnp.where(hit, body.lin_vel - v_n * n_b, body.lin_vel)
+        return body.replace(pos=pos, lin_vel=lin_vel)
+
     def step(self, state: AviaryState) -> AviaryState:
         """One aviary step = ``updates_per_step`` physics iterations
         (aviary.py:472-503)."""
@@ -473,6 +519,12 @@ class Aviary:
                 stepped = h.physics(drones[i], sub, self.wind_fn)
                 ballistic = h.ballistic(drones[i])
                 drones[i] = tree_select(armed_i, stepped, ballistic)
+                if self.obstacle_response:
+                    drones[i] = drones[i].replace(
+                        body=self._obstacle_impulse(
+                            drones[i].body, h.collision_radius
+                        )
+                    )
             contacts = jnp.stack([d.contact for d in drones])
             matrix = self._pairwise_contacts(tuple(drones))
             obstacle_hits = self._obstacle_contacts(tuple(drones))

@@ -246,3 +246,87 @@ def test_obstacle_contact():
         return jax.lax.scan(body, state, None, length=200)
     state, contacts = run(state)
     assert bool(np.asarray(contacts).any())
+
+
+def test_obstacle_response_blocks_drone():
+    """``obstacle_response=True``: the sphere-proxy impulse keeps a drone
+    from passing through a wall (PyBullet loadOBJ collision-response
+    analogue; detection-only remains the default)."""
+    from pyflyt_tpu.core import camera as cam
+
+    wall = cam.Boxes(
+        centers=jnp.asarray([[1.0, 0.0, 1.0]]),
+        half_extents=jnp.asarray([[0.2, 2.0, 2.0]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[0.5, 0.5, 0.5, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+
+    def fly_at_wall(**kw):
+        av = Aviary(
+            start_pos=[[0.0, 0.0, 1.0]], start_orn=[[0.0, 0.0, 0.0]],
+            specs=(DroneSpec(drone_type="quadx", mode=7,
+                             options={"noisy_motors": False}),),
+            obstacles=wall,
+            **kw,
+        )
+        state = av.reset(jax.random.PRNGKey(0))
+        state = av.set_setpoint(state, 0, jnp.asarray([2.0, 0.0, 0.0, 1.0]))
+
+        @jax.jit
+        def run(state):
+            def body(s, _):
+                s = av.step(s)
+                return s, (av.state(s, 0)[3, 0], s.contact[0])
+            return jax.lax.scan(body, state, None, length=300)
+        _, (xs, contacts) = run(state)
+        return np.asarray(xs), np.asarray(contacts)
+
+    xs_resp, contacts_resp = fly_at_wall(obstacle_response=True)
+    xs_thru, _ = fly_at_wall()
+    # detection-only: the drone tunnels through the 0.8-2.2m slab
+    assert xs_thru.max() > 1.5
+    # response: blocked at the wall face (0.8m minus the collision radius)
+    assert bool(contacts_resp.any())
+    assert xs_resp.max() < 0.85
+    # and it never teleports past the wall later
+    assert xs_resp[-1] < 0.85
+
+
+def test_obstacle_impulse_cancels_normal_velocity():
+    """Unit-level: a body inside a box face gets projected out with its
+    approaching normal velocity removed, restitution 0."""
+    from pyflyt_tpu.core import camera as cam
+    from pyflyt_tpu.core.integrator import Body6DoF
+
+    box = cam.Boxes(
+        centers=jnp.asarray([[0.0, 0.0, 0.0]]),
+        half_extents=jnp.asarray([[1.0, 1.0, 1.0]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[0.5, 0.5, 0.5, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+    av = Aviary(
+        start_pos=[[0.0, 0.0, 1.0]], start_orn=[[0.0, 0.0, 0.0]],
+        specs=(DroneSpec(drone_type="quadx"),),
+        obstacles=box,
+        obstacle_response=True,
+    )
+    body = Body6DoF(
+        pos=jnp.asarray([1.05, 0.0, 0.0]),  # sphere r=0.065 overlaps +x face
+        quat=jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        lin_vel=jnp.asarray([-1.0, 0.3, 0.0]),
+        ang_vel=jnp.zeros(3),
+    )
+    out = jax.jit(lambda b: av._obstacle_impulse(b, 0.065))(body)
+    np.testing.assert_allclose(float(out.pos[0]), 1.065, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.lin_vel), [0.0, 0.3, 0.0], atol=1e-6
+    )
+    # separating bodies are untouched
+    body2 = body.replace(pos=jnp.asarray([1.2, 0.0, 0.0]))
+    out2 = jax.jit(lambda b: av._obstacle_impulse(b, 0.065))(body2)
+    np.testing.assert_allclose(np.asarray(out2.pos), np.asarray(body2.pos))
+    np.testing.assert_allclose(
+        np.asarray(out2.lin_vel), np.asarray(body2.lin_vel)
+    )
