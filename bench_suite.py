@@ -50,16 +50,28 @@ def check_fused_parity():
     test suite can only exercise in interpret mode — and, for the dogfight,
     only at raised agent rates (XLA:CPU compile of the 16-iteration stock
     arena is intractable; see tests/test_pallas_dogfight.py). Noise off,
-    stock configs, a few chained agent steps vs the vmapped XLA envs."""
+    stock configs, a few chained agent steps vs the vmapped XLA envs.
+
+    Runs under ``jax.default_matmul_precision("float32")``: with the TPU
+    default (bf16 MXU passes) the XLA envs' own small rotation einsums carry
+    ~0.5% relative error and the comparison measures the XLA env's noise,
+    not the kernel's (measured on v5e: fixedwing obs diff 2.5e-1 default vs
+    7.6e-6 under f32 — the scalar-register kernels are the MORE accurate
+    path on TPU)."""
     import numpy as np
 
-    from pyflyt_tpu.envs import FixedwingWaypointsEnv, RocketLandingEnv
+    from pyflyt_tpu.envs import (
+        FixedwingWaypointsEnv,
+        QuadXWaypointsEnv,
+        RocketLandingEnv,
+    )
     from pyflyt_tpu.envs.base import vec_reset
     from pyflyt_tpu.envs.ma_fixedwing_dogfight import MAFixedwingDogfightEnv
     from pyflyt_tpu.envs.packed_dogfight import PackedMAFixedwingDogfightEnv
     from pyflyt_tpu.envs.packed_fixedwing_waypoints import (
         PackedFixedwingWaypointsEnv,
     )
+    from pyflyt_tpu.envs.packed_quadx_waypoints import PackedQuadXWaypointsEnv
     from pyflyt_tpu.envs.packed_rocket_landing import PackedRocketLandingEnv
 
     n, steps = 64, 4
@@ -68,10 +80,13 @@ def check_fused_parity():
         for i in range(steps):
             ref_st, ref_out = ref_step(ref_st, act)
             pk_st, out = pk_step(pk_st, act)
-            np.testing.assert_allclose(
-                np.asarray(out.obs), np.asarray(ref_out.obs),
-                atol=atol * (i + 1), err_msg=f"{name} step {i} obs",
-            )
+            for got, want in zip(
+                jax.tree.leaves(out.obs), jax.tree.leaves(ref_out.obs)
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want),
+                    atol=atol * (i + 1), err_msg=f"{name} step {i} obs",
+                )
             np.testing.assert_allclose(
                 np.asarray(out.reward), np.asarray(ref_out.reward),
                 atol=atol * (i + 1), rtol=1e-3,
@@ -86,29 +101,40 @@ def check_fused_parity():
 
     keys = jax.random.split(jax.random.PRNGKey(7), n)
 
-    fw = FixedwingWaypointsEnv(noisy_motors=False)
-    pfw = PackedFixedwingWaypointsEnv(base=fw)
-    ref_st, _ = vec_reset(fw, keys)
-    pk_st, _ = jax.jit(pfw.reset)(keys)
-    act = jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (n, 1))
-    gate("Fixedwing-Waypoints", jax.jit(jax.vmap(fw.step)), ref_st,
-         jax.jit(pfw.step), pk_st, act, atol=2e-3)
+    with jax.default_matmul_precision("float32"):
+        qw = QuadXWaypointsEnv(noisy_motors=False, flight_mode=7)
+        pqw = PackedQuadXWaypointsEnv(base=qw)
+        ref_st, _ = vec_reset(qw, keys)
+        pk_st, _ = jax.jit(pqw.reset)(keys)
+        act = jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (n, 1))
+        gate("QuadX-Waypoints", jax.jit(jax.vmap(qw.step)), ref_st,
+             jax.jit(pqw.step), pk_st, act, atol=1e-3)
 
-    rk = RocketLandingEnv(noisy_boosters=False)
-    prk_env = PackedRocketLandingEnv(base=rk)
-    ref_st, _ = vec_reset(rk, keys)
-    pk_st, _ = jax.jit(prk_env.reset)(keys)
-    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (n, 1))
-    gate("Rocket-Landing", jax.jit(jax.vmap(rk.step)), ref_st,
-         jax.jit(prk_env.step), pk_st, act, atol=2e-3)
+        fw = FixedwingWaypointsEnv(noisy_motors=False)
+        pfw = PackedFixedwingWaypointsEnv(base=fw)
+        ref_st, _ = vec_reset(fw, keys)
+        pk_st, _ = jax.jit(pfw.reset)(keys)
+        act = jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (n, 1))
+        gate("Fixedwing-Waypoints", jax.jit(jax.vmap(fw.step)), ref_st,
+             jax.jit(pfw.step), pk_st, act, atol=1e-3)
 
-    dg = MAFixedwingDogfightEnv(noisy_motors=False)
-    pdg_env = PackedMAFixedwingDogfightEnv(base=dg)
-    ref_st, _ = jax.jit(jax.vmap(dg.reset))(keys)
-    pk_st, _ = jax.jit(pdg_env.reset)(keys)
-    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (n, 2, 1))
-    gate("MA-Dogfight", jax.jit(jax.vmap(dg.step)), ref_st,
-         jax.jit(pdg_env.step), pk_st, act, atol=3e-3)
+        rk = RocketLandingEnv(noisy_boosters=False)
+        prk_env = PackedRocketLandingEnv(base=rk)
+        ref_st, _ = vec_reset(rk, keys)
+        pk_st, _ = jax.jit(prk_env.reset)(keys)
+        act = jnp.tile(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (n, 1)
+        )
+        gate("Rocket-Landing", jax.jit(jax.vmap(rk.step)), ref_st,
+             jax.jit(prk_env.step), pk_st, act, atol=1e-3)
+
+        dg = MAFixedwingDogfightEnv(noisy_motors=False)
+        pdg_env = PackedMAFixedwingDogfightEnv(base=dg)
+        ref_st, _ = jax.jit(jax.vmap(dg.reset))(keys)
+        pk_st, _ = jax.jit(pdg_env.reset)(keys)
+        act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (n, 2, 1))
+        gate("MA-Dogfight", jax.jit(jax.vmap(dg.step)), ref_st,
+             jax.jit(pdg_env.step), pk_st, act, atol=2e-3)
 
 
 def main():
@@ -150,6 +176,35 @@ def main():
         "value": round(8192 * 128 / dt),
         "unit": "env-steps/s",
     }), flush=True)
+    from pyflyt_tpu.envs import QuadXWaypointsEnv
+
+    bench_env(
+        "QuadX-Waypoints", QuadXWaypointsEnv(flight_mode=7), 8192, 128,
+        jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (8192, 1)),
+    )
+
+    # fused-kernel quadx waypoints env (ops/pallas_quadx.py waypoint fusion)
+    from pyflyt_tpu.envs.packed_quadx_waypoints import PackedQuadXWaypointsEnv
+
+    qwenv = PackedQuadXWaypointsEnv(base=QuadXWaypointsEnv(flight_mode=7))
+    qwkeys = jax.random.split(jax.random.PRNGKey(0), 8192)
+    qwstate, _ = jax.jit(qwenv.reset)(qwkeys)
+    qwact = jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (8192, 1))
+
+    @jax.jit
+    def fused_qw_chunk(s):
+        def body(s, _):
+            s, out = qwenv.step(s, qwact)
+            return s, out.reward
+        return jax.lax.scan(body, s, None, length=128)
+
+    dt = timeit(fused_qw_chunk, qwstate)
+    print(json.dumps({
+        "metric": "QuadX-Waypoints fused-kernel env-steps/s (8192 envs)",
+        "value": round(8192 * 128 / dt),
+        "unit": "env-steps/s",
+    }), flush=True)
+
     bench_env(
         "Fixedwing-Waypoints", FixedwingWaypointsEnv(), 4096, 64,
         jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1)),

@@ -85,6 +85,23 @@ def rows_for(mode: int) -> int:
     return ROWS_MODE7 if mode == 7 else ROWS
 
 
+# ---- waypoint-task extension rows (envs/packed_quadx_waypoints.py), appended
+# after rows_for(mode). The target buffer is stored CYCLICALLY ROLLED so the
+# current target is always the first 3 rows (no runtime gather) — same scheme
+# as ops/pallas_fixedwing.py. Offsets are relative to rows_for(mode):
+#   +0  (12) world-frame targets, rolled (4 x 3)
+#   +12 (1)  remaining-target count
+#   +13 (1)  new_distance memo   +14 (1) old_distance memo
+#   +15 (12) remaining_deltas observation (body frame, rolled, masked)
+#   +27 (1)  env_complete flag
+WP_ROWS = 28
+
+
+def rows_for_waypoints(mode: int) -> int:
+    n = rows_for(mode) + WP_ROWS
+    return ((n + SUBLANES - 1) // SUBLANES) * SUBLANES
+
+
 SUBLANES = 8  # env axis is folded (N,) -> (SUBLANES, N/SUBLANES): a packed
 # row is a full-utilization (8, lanes) vreg tile instead of a 1-sublane
 # (1, N) strip — ~8x the VPU issue width for the kernel's elementwise chains
@@ -304,6 +321,7 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                     )
                 return outs
 
+        wpf = env_fuse.get("waypoints") if env_fuse is not None else None
         if env_fuse is not None:
             # env registers (rows 50-55) + per-agent-step init: reward is
             # re-armed to -0.1 unconditionally (quadx_base.py base_step sets
@@ -321,6 +339,18 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             )
             dome2 = float(env_fuse["dome"]) ** 2
             n_aviary = int(env_fuse["inner_steps"])
+            if wpf is not None:
+                # waypoint registers (envs/quadx_waypoints.py _task_update)
+                WB = rows_for(mode)
+                NT = int(wpf["num_targets"])
+                assert NT * 3 <= 12, "row layout carries at most 4 targets"
+                goal = float(wpf["goal_dist"])
+                tgt = [S[WB + i] for i in range(12)]
+                rem = S[WB + 12]
+                ndist = S[WB + 13]
+                odist = S[WB + 14]
+                tdlt = [S[WB + 15 + i] for i in range(12)]
+                cplt = S[WB + 27]
         else:
             n_aviary = 1
 
@@ -350,6 +380,10 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                 list(pprv), contact, rwd, term, trunc, coll, oobf,
             )
             snap_ext = ext_flat() if mode == 7 else None
+            if wpf is not None:
+                snap_wp = (
+                    list(tgt), rem, ndist, odist, list(tdlt), cplt,
+                )
             any_contact = jnp.zeros_like(contact)
 
           for it in range(ratio):
@@ -529,10 +563,15 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             view = new_view
             avb = avb_new
             drg = new_drg
+            # pre-integration rotation of this iteration: after the last
+            # iteration it equals rotmat(euler_to_quat(view euler)) up to f32
+            # roundoff (the waypoint task update rotates deltas with it)
+            Rlast = (r00, r01, r02, r10, r11, r12, r20, r21, r22)
 
           if env_fuse is not None:
-            # ---- fused task update (quadx_hover.py _task_update) on the
-            # candidate state, then the done-freeze (quadx_base.py:220-232)
+            # ---- fused task update (quadx_hover.py / quadx_waypoints.py
+            # _task_update) on the candidate state, then the done-freeze
+            # (quadx_base.py:220-232)
             vx, vy, vz = view[9], view[10], view[11]  # lagged lin_pos
             oob_i = ((vx * vx + vy * vy + vz * vz) > dome2).astype(
                 jnp.float32
@@ -540,11 +579,65 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             fatal = jnp.maximum(any_contact, oob_i)
             trunc_c = jnp.minimum(trunc + trunc_hit, 1.0)
             rwd_c = jnp.where(fatal > 0.0, -100.0, rwd)
-            if not env_fuse["sparse"]:
-                dxt, dyt, dzt = vx, vy, vz - 1.0
-                lin_d = jnp.sqrt(dxt * dxt + dyt * dyt + dzt * dzt)
-                ang_d = jnp.sqrt(view[3] * view[3] + view[4] * view[4])
-                rwd_c = rwd_c - lin_d - ang_d + 1.0
+            if wpf is None:
+                if not env_fuse["sparse"]:
+                    dxt, dyt, dzt = vx, vy, vz - 1.0
+                    lin_d = jnp.sqrt(dxt * dxt + dyt * dyt + dzt * dzt)
+                    ang_d = jnp.sqrt(view[3] * view[3] + view[4] * view[4])
+                    rwd_c = rwd_c - lin_d - ang_d + 1.0
+            else:
+                # waypoint tracking (quadx_waypoints.py:102-135 +
+                # envs/utils/waypoints.py): world->body deltas for every
+                # (rolled) target with the pre-integration rotation
+                r00, r01, r02, r10, r11, r12, r20, r21, r22 = Rlast
+                deltas = []
+                for k in range(NT):
+                    dxk = tgt[3 * k] - vx
+                    dyk = tgt[3 * k + 1] - vy
+                    dzk = tgt[3 * k + 2] - vz
+                    deltas.append([
+                        r00 * dxk + r10 * dyk + r20 * dzk,
+                        r01 * dxk + r11 * dyk + r21 * dzk,
+                        r02 * dxk + r12 * dyk + r22 * dzk,
+                    ])
+                d0 = deltas[0]
+                ndist_new = jnp.sqrt(
+                    d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
+                )
+                odist_c = ndist  # old <- previous new
+                progress = odist_c - ndist_new
+
+                # target_deltas obs: pre-advance, rows >= remaining zeroed
+                tdlt_c = []
+                for k in range(NT):
+                    keep_k = (rem > (k + 0.5)).astype(jnp.float32)
+                    tdlt_c += [deltas[k][i] * keep_k for i in range(3)]
+                tdlt_c += [jnp.zeros_like(rem)] * (12 - 3 * NT)
+
+                if not env_fuse["sparse"]:
+                    rwd_c = (
+                        rwd_c
+                        + jnp.maximum(3.0 * progress, 0.0)
+                        + 0.1 / ndist_new
+                    )
+                reached = ((ndist_new < goal) & (rem > 0.5)).astype(
+                    jnp.float32
+                )
+                rwd_c = jnp.where(reached > 0.0, 100.0, rwd_c)
+                # advance: cyclic roll so the next target lands on row 0
+                tgt_c = [
+                    jnp.where(
+                        reached > 0.0,
+                        tgt[(3 * (k + 1) + i) % (3 * NT)],
+                        tgt[3 * k + i],
+                    )
+                    for k in range(NT)
+                    for i in range(3)
+                ] + tgt[3 * NT :]
+                rem_c = rem - reached
+                all_reached = (rem_c < 0.5).astype(jnp.float32)
+                trunc_c = jnp.minimum(trunc_c + all_reached, 1.0)
+                cplt_c = jnp.minimum(cplt + all_reached, 1.0)
             term_c = jnp.minimum(term + fatal, 1.0)
             coll_c = jnp.minimum(coll + any_contact, 1.0)
             oobf_c = jnp.minimum(oobf + oob_i, 1.0)
@@ -574,9 +667,19 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             trunc = sel(s_trunc, trunc_c)
             coll = sel(s_coll, coll_c)
             oobf = sel(s_oobf, oobf_c)
+            if wpf is not None:
+                (s_tgt, s_rem, s_ndist, s_odist, s_tdlt, s_cplt) = snap_wp
+                tgt = [sel(o, n_) for o, n_ in zip(s_tgt, tgt_c)]
+                rem = sel(s_rem, rem_c)
+                ndist = sel(s_ndist, ndist_new)
+                odist = sel(s_odist, odist_c)
+                tdlt = [sel(o, n_) for o, n_ in zip(s_tdlt, tdlt_c)]
+                cplt = sel(s_cplt, cplt_c)
 
         # ---- pack back
-        out = [None] * rows_for(mode)
+        out = [None] * (
+            rows_for_waypoints(mode) if wpf is not None else rows_for(mode)
+        )
         for i in range(3):
             out[_POS + i] = pos[i]
             out[_LVEL + i] = lvel[i]
@@ -600,6 +703,16 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             out[_COLL] = coll
             out[_OOB] = oobf
             out[_STEP] = stepc + 1.0  # post-scan increment, unconditional
+            if wpf is not None:
+                WB = rows_for(mode)
+                for i in range(12):
+                    out[WB + i] = tgt[i]
+                out[WB + 12] = rem
+                out[WB + 13] = ndist
+                out[WB + 14] = odist
+                for i in range(12):
+                    out[WB + 15 + i] = tdlt[i]
+                out[WB + 27] = cplt
         else:
             out[_CON + 1] = any_contact
         if mode == 7:
@@ -692,6 +805,59 @@ def packed_hover_step(
         env_fuse=dict(
             inner_steps=inner_steps, dome=dome, max_steps=max_steps,
             sparse=sparse,
+        ),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(lanes // tile,),
+        in_specs=[
+            pl.BlockSpec(
+                (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        grid_spec=grid_spec,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+
+
+def packed_waypoints_step(
+    packed: Array,
+    seed: Array,
+    params: quadx.QuadXParams,
+    cfg: quadx.QuadXConfig,
+    mode: int,
+    noisy: bool,
+    inner_steps: int,
+    dome: float,
+    max_steps: int,
+    num_targets: int,
+    goal_dist: float,
+    sparse: bool = False,
+    tile: int = 1024,
+) -> Array:
+    """One FULL waypoints-env agent step on the packed
+    (rows_for_waypoints(mode), 8, N/8) state: ``inner_steps`` aviary steps +
+    per-step waypoint distance tracking, reward shaping, target advancement,
+    termination/truncation and done-freeze (see
+    envs/packed_quadx_waypoints.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    lanes = packed.shape[2]
+    tile = min(tile, lanes)
+    assert lanes % tile == 0, (lanes, tile)
+    kernel = _build_kernel(
+        params, cfg, mode, noisy,
+        env_fuse=dict(
+            inner_steps=inner_steps, dome=dome, max_steps=max_steps,
+            sparse=sparse,
+            waypoints=dict(num_targets=num_targets, goal_dist=goal_dist),
         ),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
