@@ -33,9 +33,10 @@ Measured on one v5e chip (8192 envs, 256-step scans, noise on):
   hover env reaches **121.5M env-steps/s** (= 364M aviary-steps/s inside
   the kernel) vs 27.3M for the XLA pipeline — 4.5× end-to-end, 12.1× the
   recorded 10M north-star target. This is the default ``bench.py`` path;
-  envelope: modes 0/7/8, ENU, no wind, detection-grade contact
-  (mode 7 carries the full position-PID cascade in 24 extension
-  rows — see ROWS_MODE7).
+  envelope: modes 0/7/8/9, ENU or NED (mode 7 ENU-only), optional baked
+  gaussian/simple wind fields, detection-grade contact (mode 7 carries the
+  full position-PID cascade in 24 extension rows — see ROWS_MODE7; the
+  waypoints task adds WP_ROWS more — see rows_for_waypoints).
 """
 
 from __future__ import annotations
@@ -210,7 +211,8 @@ _STEP = 55   # agent step count (exact as f32 below 2^24)
 
 
 def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
-                  noisy: bool, env_fuse: dict | None = None):
+                  noisy: bool, env_fuse: dict | None = None,
+                  wind: dict | None = None):
     """Bakes the (concrete) parameters into a kernel body.
 
     ``env_fuse`` (optional) fuses the WHOLE hover-env agent step
@@ -219,11 +221,27 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     termination/truncation checks and the done-freeze, keeping state
     register-resident across the loop. Keys: ``inner_steps`` (env_step_ratio),
     ``dome`` (flight_dome_size), ``max_steps``, ``sparse`` (bool).
+
+    ``wind`` (optional) bakes a wind field into the drag computation
+    (models/quadx.py update_state air_vel — the read's drag_local_vel
+    becomes R^T (lin_vel - wind)). Either
+    ``{"kind": "gaussian", "base": (3,) ENU, "max_gust": float}``
+    (core/wind.py::GaussianWind — base + per-axis clipped unit normal,
+    resampled every physics iteration) or
+    ``{"kind": "simple", "strength": float}`` (SimpleWind thermal + unit
+    noise). Stochastic wind uses the kernel-internal PRNG: same
+    distribution as the XLA wind models, different stream (the established
+    kernel deviation class); gaussian with ``max_gust=0`` is deterministic
+    and exactly matches the XLA path.
     """
-    assert mode in (0, 7, 8), "pallas fast path supports modes 0, 7 and 8"
-    assert cfg.orn_conv == "ENU_FLU", (
-        "pallas fast path is ENU_FLU-only (the PID measurement, z clip and "
-        "view rows hardcode ENU semantics)"
+    ned = cfg.orn_conv == "NED_FRD"
+    assert mode in (0, 7, 8, 9), "pallas fast path supports modes 0/7/8/9"
+    assert not (ned and mode == 7), (
+        "mode 7 in the kernel carries the ENU cascade (NED position modes "
+        "4-6 are reference-bug territory; use the XLA path)"
+    )
+    assert env_fuse is None or not ned, (
+        "env fusion (hover/waypoints) is ENU-only like the stock envs"
     )
     assert np.allclose(np.asarray(params.motor.thrust_unit), [0.0, 0.0, 1.0]), (
         "pallas fast path assumes +z thrust for every motor (the wrench is "
@@ -267,8 +285,12 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     _atan2 = pmk.atan2
     _asin = pmk.asin
 
+    wind_stochastic = wind is not None and (
+        wind["kind"] == "simple" or float(wind.get("max_gust", 0.0)) > 0.0
+    )
+
     def kernel(seed_ref, s_ref, o_ref):
-        if noisy:
+        if noisy or wind_stochastic:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         S = s_ref[:]  # (ROWS, 8, TILE) — each row is a full (8, TILE) tile
         normal = pmk.make_normal
@@ -392,6 +414,14 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                 if mode == 8:
                     # direct PWM (quadx.py:452-454); saturation still applies
                     raw = [sp[0], sp[1], sp[2], sp[3]]
+                elif mode == 9:
+                    # raw motor mix (fork mode): motor_map @ setpoint, no
+                    # PID, no z clip (models/quadx.py:377-378)
+                    raw = [
+                        mmap[m, 0] * sp[0] + mmap[m, 1] * sp[1]
+                        + mmap[m, 2] * sp[2] + mmap[m, 3] * sp[3]
+                        for m in range(4)
+                    ]
                 else:  # modes 0/7: PID cascade + z clip (quadx.py:465-561)
                     if mode == 7:
                         # position cascade: lin_pos -> yaw frame -> lin_vel
@@ -415,7 +445,13 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                         z_cmd = jnp.clip(z1[0], 0.0, 1.0)
                     else:  # mode 0: setpoint IS the ang_vel command
                         a_sp = [sp[0], sp[1], sp[2]]
-                        z_cmd = jnp.clip(sp[3], 0.0, 1.0)
+                        if ned:
+                            # clip(z, -1, 0) then negate (quadx.py:425+441)
+                            z_cmd = jnp.clip(
+                                -jnp.clip(sp[3], -1.0, 0.0), 0.0, 1.0
+                            )
+                        else:
+                            z_cmd = jnp.clip(sp[3], 0.0, 1.0)
                     cmd = []
                     for i in range(3):
                         err = a_sp[i] - view[0 + i]  # view rows 0-2 = ang_vel
@@ -505,9 +541,58 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
             roll = _atan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
             pitch = _asin(2 * (w * y - z * x))
             yaw = _atan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
-            new_view = [avb_new[0], avb_new[1], avb_new[2], roll, pitch, yaw,
-                        lvb[0], lvb[1], lvb[2], pos[0], pos[1], pos[2]]
-            new_drg = lvb  # no wind on the fast path
+            if ned:
+                # NED/FRD read convention (models/quadx.py update_state:
+                # flu_vec_to_frd on body rates/vels, enu_euler_to_ned,
+                # enu_pos_to_ned); the body state itself stays ENU
+                new_view = [
+                    avb_new[0], -avb_new[1], -avb_new[2],
+                    roll, -pitch, (np.pi / 2.0) - yaw,
+                    lvb[0], -lvb[1], -lvb[2],
+                    pos[1], pos[0], -pos[2],
+                ]
+            else:
+                new_view = [
+                    avb_new[0], avb_new[1], avb_new[2], roll, pitch, yaw,
+                    lvb[0], lvb[1], lvb[2], pos[0], pos[1], pos[2],
+                ]
+            if wind is None:
+                new_drg = lvb
+            else:
+                # air velocity = world lin_vel - wind, rotated body-frame
+                # (models/quadx.py update_state air_vel)
+                if wind["kind"] == "gaussian":
+                    wb = [float(v) for v in wind["base"]]
+                    mg = float(wind.get("max_gust", 0.0))
+                    if mg > 0.0:
+                        wv = [
+                            wb[i]
+                            + jnp.clip(normal(contact.shape), -mg, mg)
+                            for i in range(3)
+                        ]
+                    else:
+                        wv = wb
+                else:  # simple thermal (core/wind.py::SimpleWind)
+                    strength = float(wind["strength"])
+                    height = jnp.maximum(pos[2] + 1.0, 0.0)
+                    thermal = jnp.where(
+                        height > 0.0,
+                        jnp.log(jnp.maximum(height, 1e-12)) * strength,
+                        0.0,
+                    )
+                    wv = [
+                        normal(contact.shape),
+                        normal(contact.shape),
+                        thermal + normal(contact.shape),
+                    ]
+                ax = lvel[0] - wv[0]
+                ay = lvel[1] - wv[1]
+                az = lvel[2] - wv[2]
+                new_drg = [
+                    r00 * ax + r10 * ay + r20 * az,
+                    r01 * ax + r11 * ay + r21 * az,
+                    r02 * ax + r12 * ay + r22 * az,
+                ]
 
             # ---- integrate (semi-implicit Euler, body-frame Euler eqns)
             fwx = r00 * fx + r01 * fy + r02 * fz
@@ -743,6 +828,7 @@ def packed_step(
     mode: int = 0,
     noisy: bool = True,
     tile: int = 512,
+    wind: dict | None = None,
 ) -> Array:
     """One aviary step on the packed (ROWS, 8, N/8) state. Row ``_CON + 1``
     of the output carries the any-contact flag for the step.
@@ -757,7 +843,7 @@ def packed_step(
     lanes = packed.shape[2]  # folded minor axis = N / SUBLANES
     tile = min(tile, lanes)
     assert lanes % tile == 0, (lanes, tile)
-    kernel = _build_kernel(params, cfg, mode, noisy)
+    kernel = _build_kernel(params, cfg, mode, noisy, wind=wind)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(lanes // tile,),
@@ -885,9 +971,11 @@ def step(
     cfg: quadx.QuadXConfig,
     mode: int,
     key: Array | None = None,
+    wind: dict | None = None,
 ) -> tuple[quadx.QuadXState, Array]:
-    """Drop-in for ``quadx.step`` (batched (N,) states, modes 0/7/8, no
-    wind)."""
+    """Drop-in for ``quadx.step`` (batched (N,) states, modes 0/7/8/9, ENU
+    or NED; ``wind`` bakes a gaussian/simple wind field — see
+    ``_build_kernel``)."""
     packed = pack_state(state, mode)
     if key is not None and key.ndim == 2:
         key = key[0]
@@ -899,6 +987,7 @@ def step(
     out = packed_step(
         packed, seed, params, cfg, mode=mode,
         noisy=cfg.noisy_motors and key is not None,
+        wind=wind,
     )
     new_state = unpack_state(out, state)
     new_state = new_state.replace(

@@ -183,3 +183,108 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(st2.contact), np.asarray(st.contact)
     )
+
+
+def test_kernel_mode9_matches_xla():
+    """Mode 9 (fork raw motor mix): motor_map @ setpoint with no PID."""
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params)
+    sp = jax.random.uniform(
+        jax.random.PRNGKey(9), (256, 4), minval=-0.05, maxval=0.05
+    ).at[:, 3].set(0.4)
+    st = st.replace(setpoint=sp)
+
+    ref, _ = quadx.step(st, params, cfg, 9)
+    out, _ = pallas_quadx.step(st, params, cfg, 9)
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body.ang_vel), np.asarray(ref.body.ang_vel), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pwm), np.asarray(ref.pwm), atol=2e-6
+    )
+
+
+@pytest.mark.parametrize("mode", [0, 9])
+def test_kernel_ned_matches_xla(mode):
+    """NED_FRD convention: the view rows carry the converted read (the body
+    state stays ENU), the mode-0 z command takes the NED clip+negate path,
+    and the NED motor map mixes correctly."""
+    cfg = quadx.QuadXConfig(noisy_motors=False, orn_conv="NED_FRD")
+    params = quadx.build_params(cfg)
+    key = jax.random.PRNGKey(12)
+    n = 128
+    # NED spawn: z down, so altitude 5 m = -5
+    pos = jax.random.uniform(key, (n, 3), minval=-2, maxval=2) + jnp.asarray(
+        [0.0, 0.0, -5.0]
+    )
+    orn = jax.random.uniform(
+        jax.random.fold_in(key, 1), (n, 3), minval=-0.3, maxval=0.3
+    )
+    st = quadx.init_state(params, cfg, pos, orn)
+    st = quadx.set_mode(st, mode, cfg)
+    if mode == 0:
+        sp = jax.random.uniform(
+            jax.random.fold_in(key, 2), (n, 4), minval=-0.3, maxval=0.3
+        ).at[:, 3].set(-0.4)  # NED thrust command is negative
+    else:
+        sp = jax.random.uniform(
+            jax.random.fold_in(key, 2), (n, 4), minval=-0.05, maxval=0.05
+        ).at[:, 3].set(0.4)
+    st = st.replace(setpoint=sp)
+
+    ref = out = st
+    for _ in range(8):
+        ref, _ = quadx.step(ref, params, cfg, mode)
+        out, _ = pallas_quadx.step(out, params, cfg, mode)
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.read.view), np.asarray(ref.read.view), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pwm), np.asarray(ref.pwm), atol=1e-5
+    )
+
+
+def test_kernel_gaussian_wind_deterministic_matches_xla():
+    """Baked gaussian wind with max_gust=0 (deterministic base wind) must
+    exactly match the XLA path fed the same constant wind vector — the drag
+    term sees air velocity, so a 3 m/s crosswind visibly bends the
+    trajectory (also asserted)."""
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    st = _random_state(cfg, params, n=128, seed=5)
+    st = st.replace(
+        setpoint=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.42]), (128, 1))
+    )
+    base = (3.0, -1.5, 0.5)
+    wind_fn = lambda step, p: jnp.broadcast_to(
+        jnp.asarray(base, p.dtype), p.shape
+    )
+
+    ref = out = nowind = st
+    for _ in range(12):
+        ref, _ = quadx.step(ref, params, cfg, 0, wind_fn=wind_fn)
+        nowind, _ = quadx.step(nowind, params, cfg, 0)
+        out, _ = pallas_quadx.step(
+            out, params, cfg, 0,
+            wind={"kind": "gaussian", "base": base, "max_gust": 0.0},
+        )
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.read.drag_local_vel),
+        np.asarray(ref.read.drag_local_vel), atol=5e-4,
+    )
+    # wind actually does something
+    assert (
+        float(
+            jnp.max(jnp.abs(ref.body.pos - nowind.body.pos))
+        ) > 1e-3
+    )
