@@ -102,14 +102,6 @@ def check_fused_parity():
     keys = jax.random.split(jax.random.PRNGKey(7), n)
 
     with jax.default_matmul_precision("float32"):
-        qw = QuadXWaypointsEnv(noisy_motors=False, flight_mode=7)
-        pqw = PackedQuadXWaypointsEnv(base=qw)
-        ref_st, _ = vec_reset(qw, keys)
-        pk_st, _ = jax.jit(pqw.reset)(keys)
-        act = jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (n, 1))
-        gate("QuadX-Waypoints", jax.jit(jax.vmap(qw.step)), ref_st,
-             jax.jit(pqw.step), pk_st, act, atol=1e-3)
-
         fw = FixedwingWaypointsEnv(noisy_motors=False)
         pfw = PackedFixedwingWaypointsEnv(base=fw)
         ref_st, _ = vec_reset(fw, keys)
@@ -135,6 +127,16 @@ def check_fused_parity():
         act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (n, 2, 1))
         gate("MA-Dogfight", jax.jit(jax.vmap(dg.step)), ref_st,
              jax.jit(pdg_env.step), pk_st, act, atol=2e-3)
+
+        # last: the newest gate (heaviest compile — mode-7 cascade +
+        # waypoint rows), so the proven gates report first
+        qw = QuadXWaypointsEnv(noisy_motors=False, flight_mode=7)
+        pqw = PackedQuadXWaypointsEnv(base=qw)
+        ref_st, _ = vec_reset(qw, keys)
+        pk_st, _ = jax.jit(pqw.reset)(keys)
+        act = jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (n, 1))
+        gate("QuadX-Waypoints", jax.jit(jax.vmap(qw.step)), ref_st,
+             jax.jit(pqw.step), pk_st, act, atol=1e-3)
 
 
 def main():
