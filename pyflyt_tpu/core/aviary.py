@@ -445,6 +445,19 @@ class Aviary:
         mat = dist < thresh
         return mat & ~jnp.eye(n, dtype=bool)
 
+    def _box_closest_points(self, pos: Array) -> tuple[Array, Array, Array]:
+        """Sphere-vs-OBB support math shared by detection and response:
+        ``pos`` (..., 3) centers -> (local, clamped, d2) in each box frame,
+        shapes (..., k, 3) / (..., k, 3) / (..., k)."""
+        ob = self.obstacles
+        rel = pos[..., None, :] - ob.centers
+        local = jnp.einsum(
+            "kij,...kj->...ki", jnp.swapaxes(ob.rotations, -1, -2), rel
+        )
+        clamped = jnp.clip(local, -ob.half_extents, ob.half_extents)
+        d2 = jnp.sum((local - clamped) ** 2, axis=-1)
+        return local, clamped, d2
+
     def _obstacle_contacts(self, drones: tuple) -> Array:
         """(n,) bool — per-drone sphere-vs-OBB proximity to the obstacles."""
         n = self.num_drones
@@ -452,12 +465,7 @@ class Aviary:
             return jnp.zeros((n,), bool)
         pos = jnp.stack([h.pos(d) for h, d in zip(self.handles, drones)])
         radii = jnp.asarray([h.collision_radius for h in self.handles])
-        ob = self.obstacles
-        # drone centers in each box frame
-        rel = pos[:, None, :] - ob.centers[None, :, :]  # (n, k, 3)
-        local = jnp.einsum("kij,nkj->nki", jnp.swapaxes(ob.rotations, -1, -2), rel)
-        clamped = jnp.clip(local, -ob.half_extents, ob.half_extents)
-        d2 = jnp.sum((local - clamped) ** 2, axis=-1)  # (n, k)
+        _, _, d2 = self._box_closest_points(pos)  # (n, k)
         return jnp.any(d2 < (radii[:, None] ** 2), axis=-1)
 
     def _obstacle_impulse(self, body, radius: float):
@@ -467,11 +475,8 @@ class Aviary:
         ``loadOBJ`` scene bodies (core/utils/load_objs.py:8-46); no torque
         (the proxy sphere is centred on the CoM)."""
         ob = self.obstacles
-        rel = body.pos[None, :] - ob.centers  # (k, 3)
-        local = jnp.einsum("kij,kj->ki", jnp.swapaxes(ob.rotations, -1, -2), rel)
-        clamped = jnp.clip(local, -ob.half_extents, ob.half_extents)
+        local, clamped, d2 = self._box_closest_points(body.pos)  # (k, ...)
         delta = local - clamped
-        d2 = jnp.sum(delta * delta, axis=-1)  # (k,)
         outside = d2 > 1e-12
         dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
         n_out = delta / dist[:, None]

@@ -164,7 +164,10 @@ def unpack_state(packed: Array, template: quadx.QuadXState) -> quadx.QuadXState:
             integral=g(_PINT, 3), prev_error=g(_PPRV, 3)
         )
     )
-    if rows >= ROWS_MODE7:
+    # PID cascade banks are present only in mode-7 layouts (80 rows, or 112
+    # with the waypoint extension) — mode-0/8 waypoint layouts are 88 rows
+    # and their rows 56+ hold waypoint state, NOT PID banks
+    if rows in (ROWS_MODE7, rows_for_waypoints(7)):
         pids = pids.replace(
             lin_pos=pids.lin_pos.replace(
                 integral=g(_LP_INT, 2), prev_error=g(_LP_PRV, 2)

@@ -304,10 +304,14 @@ class PPO:
 
         # effective block size: largest divisor of the minibatch size not
         # exceeding the configured one (small educational configs degrade
-        # gracefully toward the exact per-sample permutation)
-        import math
-
-        blk = math.gcd(cfg.shuffle_block, cfg.minibatch_size)
+        # gracefully toward the exact per-sample permutation). gcd would
+        # under-shoot when the two share few factors (16 vs 24 -> 8, not 12)
+        # and silently lose most of the block-gather win.
+        blk = max(
+            d
+            for d in range(1, int(cfg.shuffle_block) + 1)
+            if cfg.minibatch_size % d == 0
+        )
         num_blocks = cfg.batch_size // blk
 
         def epoch(carry, _):

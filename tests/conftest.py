@@ -20,3 +20,22 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    """Force pallas_call into interpret mode (CPU): the kernel parity test
+    files opt in with ``pytestmark = pytest.mark.usefixtures(...)``. Real
+    Mosaic lowering is exercised on hardware by bench.py / bench_suite.py."""
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)

@@ -12,22 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import jax.experimental.pallas as pl
 
 from pyflyt_tpu.envs.base import vec_reset
 from pyflyt_tpu.envs.packed_quadx_waypoints import PackedQuadXWaypointsEnv
 from pyflyt_tpu.envs.quadx_waypoints import QuadXWaypointsEnv
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
+pytestmark = pytest.mark.usefixtures("interpret_pallas")
 
 
 N = 64

@@ -22,21 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import jax.experimental.pallas as pl
 
 from pyflyt_tpu.envs.ma_fixedwing_dogfight import MAFixedwingDogfightEnv
 from pyflyt_tpu.envs.packed_dogfight import PackedMAFixedwingDogfightEnv
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
+pytestmark = pytest.mark.usefixtures("interpret_pallas")
 
 
 N = 16

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import jax.experimental.pallas as pl
 
 from pyflyt_tpu.envs.base import vec_reset
 from pyflyt_tpu.envs.fixedwing_waypoints import FixedwingWaypointsEnv
@@ -23,15 +22,7 @@ from pyflyt_tpu.models import fixedwing
 from pyflyt_tpu.ops import pallas_fixedwing
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
+pytestmark = pytest.mark.usefixtures("interpret_pallas")
 
 
 def _random_state(cfg, params, mode, n=64, seed=0, alt=50.0):

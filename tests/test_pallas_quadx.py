@@ -9,21 +9,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import jax.experimental.pallas as pl
 
 from pyflyt_tpu.models import quadx
 from pyflyt_tpu.ops import pallas_quadx
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
+pytestmark = pytest.mark.usefixtures("interpret_pallas")
 
 
 def _random_state(cfg, params, n=256, seed=0):

@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import jax.experimental.pallas as pl
 
 from pyflyt_tpu.envs.base import vec_reset
 from pyflyt_tpu.envs.packed_rocket_landing import PackedRocketLandingEnv
@@ -21,15 +20,7 @@ from pyflyt_tpu.models import rocket
 from pyflyt_tpu.ops import pallas_rocket
 
 
-@pytest.fixture(autouse=True)
-def _interpret_mode(monkeypatch):
-    orig = pl.pallas_call
-
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
+pytestmark = pytest.mark.usefixtures("interpret_pallas")
 
 
 N = 16
