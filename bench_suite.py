@@ -45,6 +45,29 @@ def bench_env(name, env, num_envs, steps, action):
     }), flush=True)
 
 
+def bench_fused(name, env, num_envs, steps, action, agents=1):
+    """Fused-kernel env bench: jit a scan over env.step, report steps/s.
+    ``steps`` trades per-call dispatch against compile time (heavier kernels
+    use shorter chunks)."""
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    state, _ = jax.jit(env.reset)(keys)
+
+    @jax.jit
+    def chunk(s):
+        def body(s, _):
+            s, out = env.step(s, action)
+            return s, out.reward
+        return jax.lax.scan(body, s, None, length=steps)
+
+    dt = timeit(chunk, state)
+    unit = "agent-steps/s" if agents > 1 else "env-steps/s"
+    print(json.dumps({
+        "metric": f"{name} fused-kernel {unit} ({num_envs} envs)",
+        "value": round(num_envs * agents * steps / dt),
+        "unit": unit,
+    }), flush=True)
+
+
 def check_fused_parity():
     """Real-lowering (Mosaic) parity gates for the fused kernels that the CPU
     test suite can only exercise in interpret mode — and, for the dogfight,
@@ -188,24 +211,11 @@ def main():
     # fused-kernel quadx waypoints env (ops/pallas_quadx.py waypoint fusion)
     from pyflyt_tpu.envs.packed_quadx_waypoints import PackedQuadXWaypointsEnv
 
-    qwenv = PackedQuadXWaypointsEnv(base=QuadXWaypointsEnv(flight_mode=7))
-    qwkeys = jax.random.split(jax.random.PRNGKey(0), 8192)
-    qwstate, _ = jax.jit(qwenv.reset)(qwkeys)
-    qwact = jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (8192, 1))
-
-    @jax.jit
-    def fused_qw_chunk(s):
-        def body(s, _):
-            s, out = qwenv.step(s, qwact)
-            return s, out.reward
-        return jax.lax.scan(body, s, None, length=128)
-
-    dt = timeit(fused_qw_chunk, qwstate)
-    print(json.dumps({
-        "metric": "QuadX-Waypoints fused-kernel env-steps/s (8192 envs)",
-        "value": round(8192 * 128 / dt),
-        "unit": "env-steps/s",
-    }), flush=True)
+    bench_fused(
+        "QuadX-Waypoints",
+        PackedQuadXWaypointsEnv(base=QuadXWaypointsEnv(flight_mode=7)),
+        8192, 128, jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (8192, 1)),
+    )
 
     bench_env(
         "Fixedwing-Waypoints", FixedwingWaypointsEnv(), 4096, 64,
@@ -217,24 +227,12 @@ def main():
         PackedFixedwingWaypointsEnv,
     )
 
-    fenv = PackedFixedwingWaypointsEnv(base=FixedwingWaypointsEnv())
-    fkeys = jax.random.split(jax.random.PRNGKey(0), 4096)
-    fstate, _ = jax.jit(fenv.reset)(fkeys)
-    fact = jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1))
+    bench_fused(
+        "Fixedwing-Waypoints",
+        PackedFixedwingWaypointsEnv(base=FixedwingWaypointsEnv()),
+        4096, 64, jnp.tile(jnp.asarray([0.0, 0.05, 0.0, 0.7]), (4096, 1)),
+    )
 
-    @jax.jit
-    def fused_fw_chunk(s):
-        def body(s, _):
-            s, out = fenv.step(s, fact)
-            return s, out.reward
-        return jax.lax.scan(body, s, None, length=64)
-
-    dt = timeit(fused_fw_chunk, fstate)
-    print(json.dumps({
-        "metric": "Fixedwing-Waypoints fused-kernel env-steps/s (4096 envs)",
-        "value": round(4096 * 64 / dt),
-        "unit": "env-steps/s",
-    }), flush=True)
     bench_env(
         "Rocket-Landing", RocketLandingEnv(), 4096, 64,
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1)),
@@ -243,24 +241,12 @@ def main():
     # fused-kernel rocket landing env (ops/pallas_rocket.py)
     from pyflyt_tpu.envs.packed_rocket_landing import PackedRocketLandingEnv
 
-    renv = PackedRocketLandingEnv(base=RocketLandingEnv())
-    rkeys = jax.random.split(jax.random.PRNGKey(0), 4096)
-    rstate, _ = jax.jit(renv.reset)(rkeys)
-    ract = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1))
-
-    @jax.jit
-    def fused_rk_chunk(s):
-        def body(s, _):
-            s, out = renv.step(s, ract)
-            return s, out.reward
-        return jax.lax.scan(body, s, None, length=64)
-
-    dt = timeit(fused_rk_chunk, rstate)
-    print(json.dumps({
-        "metric": "Rocket-Landing fused-kernel env-steps/s (4096 envs)",
-        "value": round(4096 * 64 / dt),
-        "unit": "env-steps/s",
-    }), flush=True)
+    bench_fused(
+        "Rocket-Landing",
+        PackedRocketLandingEnv(base=RocketLandingEnv()),
+        4096, 64,
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (4096, 1)),
+    )
 
     # multi-agent dogfight (vmapped over matches)
     dog = MAFixedwingDogfightEnv()
@@ -283,28 +269,16 @@ def main():
         "unit": "agent-steps/s",
     }), flush=True)
 
-    # fused-kernel dogfight (ops/pallas_dogfight.py): both drones of an arena
-    # in one lane, whole agent step in one pallas_call
+    # fused-kernel dogfight (ops/pallas_dogfight.py): both drones of an
+    # arena in one lane, whole agent step in one pallas_call
     from pyflyt_tpu.envs.packed_dogfight import PackedMAFixedwingDogfightEnv
 
-    pdog = PackedMAFixedwingDogfightEnv(base=dog)
-    dkeys = jax.random.split(jax.random.PRNGKey(0), matches)
-    dstate, _ = jax.jit(pdog.reset)(dkeys)
-    dact = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (matches, 2, 1))
-
-    @jax.jit
-    def fused_dog_chunk(s):
-        def body(s, _):
-            s, out = pdog.step(s, dact)
-            return s, out.reward
-        return jax.lax.scan(body, s, None, length=32)
-
-    dt = timeit(fused_dog_chunk, dstate)
-    print(json.dumps({
-        "metric": f"MA-Dogfight fused-kernel agent-steps/s ({matches} matches)",
-        "value": round(matches * 2 * 32 / dt),
-        "unit": "agent-steps/s",
-    }), flush=True)
+    bench_fused(
+        "MA-Dogfight", PackedMAFixedwingDogfightEnv(base=dog),
+        matches, 32,
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (matches, 2, 1)),
+        agents=2,
+    )
 
     # fused PPO train iteration
     ppo = PPO(

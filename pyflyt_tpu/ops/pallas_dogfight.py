@@ -285,9 +285,6 @@ def packed_dogfight_step(
     """One FULL dogfight agent step on the packed (ROWS, 8, N/8) arena state
     (N arenas = 2N agents). ``params`` must be CONCRETE; wrap the caller in
     ``jax.jit``. See envs/packed_dogfight.py for the env wrapper."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     kernel = _build_kernel(
         params, cfg, noisy,
         fuse=dict(
@@ -297,19 +294,4 @@ def packed_dogfight_step(
             sparse=sparse,
         ),
     )
-    lanes = packed.shape[2]
-    tile = min(tile, lanes)
-    assert lanes % tile == 0, (lanes, tile)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(lanes // tile,),
-        in_specs=[
-            pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        grid_spec=grid_spec,
-    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+    return pmk.grid_call(kernel, packed, seed, tile)

@@ -176,3 +176,31 @@ def matvec_const(M, v):
 def matvec_t_const(M, v):
     """M.T @ v for concrete 3x3 numpy M and register 3-list v."""
     return [dot_const(v, M[:, i]) for i in range(3)]
+
+
+def grid_call(kernel, packed, seed, tile: int):
+    """Shared pallas_call launcher for the folded (rows, 8, N/8) state
+    layout every vehicle kernel uses: scalar-prefetched seed, 1-D grid over
+    lane tiles, identity block mapping. One definition so a grid/tiling
+    change lands everywhere at once (the row count comes from the operand)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, sublanes, lanes = packed.shape
+    tile = min(tile, lanes)
+    assert lanes % tile == 0, (lanes, tile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(lanes // tile,),
+        in_specs=[
+            pl.BlockSpec((rows, sublanes, tile), lambda i, s: (0, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((rows, sublanes, tile), lambda i, s: (0, 0, i)),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
+        grid_spec=grid_spec,
+    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)

@@ -840,30 +840,8 @@ def packed_step(
     at trace time) — pass the env's cached parameter pytree, captured by
     closure, not a traced argument. Wrap the caller in ``jax.jit``.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    lanes = packed.shape[2]  # folded minor axis = N / SUBLANES
-    tile = min(tile, lanes)
-    assert lanes % tile == 0, (lanes, tile)
     kernel = _build_kernel(params, cfg, mode, noisy, wind=wind)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(lanes // tile,),
-        in_specs=[
-            pl.BlockSpec(
-                (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        grid_spec=grid_spec,
-    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+    return pmk.grid_call(kernel, packed, seed, tile)
 
 
 def packed_hover_step(
@@ -883,12 +861,6 @@ def packed_hover_step(
     ``inner_steps`` aviary steps + reward shaping + termination/truncation +
     done-freeze, all register-resident (see envs/packed_hover.py).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    lanes = packed.shape[2]
-    tile = min(tile, lanes)
-    assert lanes % tile == 0, (lanes, tile)
     kernel = _build_kernel(
         params, cfg, mode, noisy,
         env_fuse=dict(
@@ -896,23 +868,7 @@ def packed_hover_step(
             sparse=sparse,
         ),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(lanes // tile,),
-        in_specs=[
-            pl.BlockSpec(
-                (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        grid_spec=grid_spec,
-    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+    return pmk.grid_call(kernel, packed, seed, tile)
 
 
 def packed_waypoints_step(
@@ -935,12 +891,6 @@ def packed_waypoints_step(
     per-step waypoint distance tracking, reward shaping, target advancement,
     termination/truncation and done-freeze (see
     envs/packed_quadx_waypoints.py)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    lanes = packed.shape[2]
-    tile = min(tile, lanes)
-    assert lanes % tile == 0, (lanes, tile)
     kernel = _build_kernel(
         params, cfg, mode, noisy,
         env_fuse=dict(
@@ -949,23 +899,7 @@ def packed_waypoints_step(
             waypoints=dict(num_targets=num_targets, goal_dist=goal_dist),
         ),
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(lanes // tile,),
-        in_specs=[
-            pl.BlockSpec(
-                (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (packed.shape[0], SUBLANES, tile), lambda i, s: (0, 0, i)
-        ),
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        grid_spec=grid_spec,
-    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+    return pmk.grid_call(kernel, packed, seed, tile)
 
 
 def step(

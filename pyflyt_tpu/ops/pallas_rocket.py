@@ -830,25 +830,7 @@ def _build_kernel(
 
 
 def _grid_call(kernel, packed: Array, seed: Array, tile: int) -> Array:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    lanes = packed.shape[2]
-    tile = min(tile, lanes)
-    assert lanes % tile == 0, (lanes, tile)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(lanes // tile,),
-        in_specs=[
-            pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((ROWS, SUBLANES, tile), lambda i, s: (0, 0, i)),
-    )
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
-        grid_spec=grid_spec,
-    )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+    return pmk.grid_call(kernel, packed, seed, tile)
 
 
 def packed_step(
