@@ -151,3 +151,61 @@ def test_unassisted_mode_matches():
             np.asarray(out.reward), np.asarray(ref_out.reward), atol=2e-3,
             rtol=1e-4, err_msg=f"step {i} reward",
         )
+
+
+def test_packed_env_steps_under_shard_map():
+    """Multi-chip pattern: each device owns a lane-block of ARENAS; the
+    fused dogfight rollout lowers with zero collectives (the alive/action
+    bookkeeping is per-arena, so sharding the arena axis is clean)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    base, penv = make_envs()
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+
+    n = 8 * len(jax.devices())  # one packed lane-block of arenas per device
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    state, _ = penv.reset(keys)
+    shard_keys = jax.random.split(jax.random.PRNGKey(6), len(jax.devices()))
+
+    def local_step(packed, key, alive, cur, past, act):
+        st = type(state)(
+            packed=packed, key=key[0], alive=alive,
+            current_actions=cur, past_actions=past,
+        )
+        st, out = penv.step(st, act)
+        return st.packed, out.obs, out.reward
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "env"), P("env"), P("env"), P("env"), P("env"),
+            P("env"),
+        ),
+        out_specs=(P(None, None, "env"), P("env"), P("env")),
+        check_vma=False,
+    )
+    act = _actions(0, n=n)
+    packed, obs, reward = jax.jit(sharded)(
+        state.packed, shard_keys, state.alive, state.current_actions,
+        state.past_actions, act,
+    )
+    assert packed.shape == state.packed.shape
+    assert bool(jnp.all(jnp.isfinite(reward)))
+
+    hlo = (
+        jax.jit(sharded)
+        .lower(
+            state.packed, shard_keys, state.alive, state.current_actions,
+            state.past_actions, act,
+        )
+        .compile()
+        .as_text()
+    )
+    collectives = [
+        l
+        for l in hlo.splitlines()
+        if "all-gather" in l or "all-reduce" in l or "all-to-all" in l
+        or "collective-permute" in l
+    ]
+    assert not collectives, collectives[:3]

@@ -249,3 +249,49 @@ def test_resting_contact_matches():
         )
         touched |= bool(jnp.any(ref_g))
     assert touched, "the rocket must reach the ground in this scenario"
+
+
+def test_packed_env_steps_under_shard_map():
+    """Multi-chip pattern: each device owns a packed lane-block; the fused
+    rocket-landing rollout lowers with zero collectives."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    base = _low_env()
+    penv = PackedRocketLandingEnv(base=base)
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+
+    n = 8 * len(jax.devices())  # one packed lane-block per device
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    state, _ = penv.reset(keys)
+    shard_keys = jax.random.split(jax.random.PRNGKey(6), len(jax.devices()))
+
+    def local_step(packed, key, act):
+        st = type(state)(packed=packed, key=key[0])
+        st, out = penv.step(st, act)
+        return st.packed, out.obs, out.reward
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(None, None, "env"), P("env"), P("env")),
+        out_specs=(P(None, None, "env"), P("env"), P("env")),
+        check_vma=False,
+    )
+    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 0.5, 0.0, 0.0]), (n, 1))
+    packed, obs, reward = jax.jit(sharded)(state.packed, shard_keys, act)
+    assert packed.shape == state.packed.shape
+    assert bool(jnp.all(jnp.isfinite(reward)))
+
+    hlo = (
+        jax.jit(sharded)
+        .lower(state.packed, shard_keys, act)
+        .compile()
+        .as_text()
+    )
+    collectives = [
+        l
+        for l in hlo.splitlines()
+        if "all-gather" in l or "all-reduce" in l or "all-to-all" in l
+        or "collective-permute" in l
+    ]
+    assert not collectives, collectives[:3]
