@@ -204,3 +204,61 @@ def grid_call(kernel, packed, seed, tile: int):
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         grid_spec=grid_spec,
     )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
+
+
+def waypoint_track(R, lp, tgt, rem, ndist, NT, goal):
+    """Register-level waypoint tracking shared by the quadx and fixedwing
+    fused kernels (envs/utils/waypoints.py semantics on the cyclically
+    rolled in-kernel target layout; see ops/pallas_fixedwing.py's row
+    docs). ``R`` is the flattened pre-integration rotation (9 registers),
+    ``lp`` the lagged position (3), ``tgt`` 12 rolled target rows, ``rem``
+    the remaining count, ``ndist`` the previous new-distance memo.
+
+    Returns ``(tgt_c, rem_c, ndist_new, odist_c, progress, tdlt_c,
+    reached, all_reached)`` — the caller applies its env's reward shaping
+    (the proximity coefficient differs per env) and bookkeeping.
+    """
+    import jax.numpy as jnp
+
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = R
+    # update_distances: world->body deltas for every (rolled) target
+    deltas = []
+    for k in range(NT):
+        dxk = tgt[3 * k] - lp[0]
+        dyk = tgt[3 * k + 1] - lp[1]
+        dzk = tgt[3 * k + 2] - lp[2]
+        deltas.append([
+            r00 * dxk + r10 * dyk + r20 * dzk,
+            r01 * dxk + r11 * dyk + r21 * dzk,
+            r02 * dxk + r12 * dyk + r22 * dzk,
+        ])
+    d0 = deltas[0]
+    ndist_new = jnp.sqrt(d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2])
+    odist_c = ndist  # old <- previous new
+    progress = odist_c - ndist_new
+
+    # target_deltas obs: pre-advance, rows >= remaining zeroed
+    # (envs/utils/waypoints.py remaining_deltas)
+    tdlt_c = []
+    for k in range(NT):
+        keep_k = (rem > (k + 0.5)).astype(jnp.float32)
+        tdlt_c += [deltas[k][i] * keep_k for i in range(3)]
+    tdlt_c += [jnp.zeros_like(rem)] * (12 - 3 * NT)
+
+    reached = ((ndist_new < goal) & (rem > 0.5)).astype(jnp.float32)
+    # advance: cyclic roll so the next target lands on row 0
+    tgt_c = [
+        jnp.where(
+            reached > 0.0,
+            tgt[(3 * (k + 1) + i) % (3 * NT)],
+            tgt[3 * k + i],
+        )
+        for k in range(NT)
+        for i in range(3)
+    ] + tgt[3 * NT :]
+    rem_c = rem - reached
+    all_reached = (rem_c < 0.5).astype(jnp.float32)
+    return (
+        tgt_c, rem_c, ndist_new, odist_c, progress, tdlt_c, reached,
+        all_reached,
+    )

@@ -675,55 +675,19 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                     rwd_c = rwd_c - lin_d - ang_d + 1.0
             else:
                 # waypoint tracking (quadx_waypoints.py:102-135 +
-                # envs/utils/waypoints.py): world->body deltas for every
-                # (rolled) target with the pre-integration rotation
-                r00, r01, r02, r10, r11, r12, r20, r21, r22 = Rlast
-                deltas = []
-                for k in range(NT):
-                    dxk = tgt[3 * k] - vx
-                    dyk = tgt[3 * k + 1] - vy
-                    dzk = tgt[3 * k + 2] - vz
-                    deltas.append([
-                        r00 * dxk + r10 * dyk + r20 * dzk,
-                        r01 * dxk + r11 * dyk + r21 * dzk,
-                        r02 * dxk + r12 * dyk + r22 * dzk,
-                    ])
-                d0 = deltas[0]
-                ndist_new = jnp.sqrt(
-                    d0[0] * d0[0] + d0[1] * d0[1] + d0[2] * d0[2]
+                # envs/utils/waypoints.py) on the pre-integration rotation;
+                # shared register math in pallas_math.waypoint_track
+                (tgt_c, rem_c, ndist_new, odist_c, progress, tdlt_c,
+                 reached, all_reached) = pmk.waypoint_track(
+                    Rlast, (vx, vy, vz), tgt, rem, ndist, NT, goal
                 )
-                odist_c = ndist  # old <- previous new
-                progress = odist_c - ndist_new
-
-                # target_deltas obs: pre-advance, rows >= remaining zeroed
-                tdlt_c = []
-                for k in range(NT):
-                    keep_k = (rem > (k + 0.5)).astype(jnp.float32)
-                    tdlt_c += [deltas[k][i] * keep_k for i in range(3)]
-                tdlt_c += [jnp.zeros_like(rem)] * (12 - 3 * NT)
-
                 if not env_fuse["sparse"]:
                     rwd_c = (
                         rwd_c
                         + jnp.maximum(3.0 * progress, 0.0)
                         + 0.1 / ndist_new
                     )
-                reached = ((ndist_new < goal) & (rem > 0.5)).astype(
-                    jnp.float32
-                )
                 rwd_c = jnp.where(reached > 0.0, 100.0, rwd_c)
-                # advance: cyclic roll so the next target lands on row 0
-                tgt_c = [
-                    jnp.where(
-                        reached > 0.0,
-                        tgt[(3 * (k + 1) + i) % (3 * NT)],
-                        tgt[3 * k + i],
-                    )
-                    for k in range(NT)
-                    for i in range(3)
-                ] + tgt[3 * NT :]
-                rem_c = rem - reached
-                all_reached = (rem_c < 0.5).astype(jnp.float32)
                 trunc_c = jnp.minimum(trunc_c + all_reached, 1.0)
                 cplt_c = jnp.minimum(cplt + all_reached, 1.0)
             term_c = jnp.minimum(term + fatal, 1.0)
