@@ -12,9 +12,29 @@ Everything here is plain jnp and traces identically under
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# process-wide interpret-mode override for every kernel launched through
+# grid_call (the single pallas_call site in the package). Scoped via
+# force_interpret() so off-TPU callers (the driver's CPU dryrun) don't have
+# to monkeypatch jax.experimental.pallas.pallas_call globally.
+_FORCE_INTERPRET = False
+
+
+@contextlib.contextmanager
+def force_interpret():
+    """Runs every grid_call-launched kernel in Pallas interpret mode."""
+    global _FORCE_INTERPRET
+    prev = _FORCE_INTERPRET
+    _FORCE_INTERPRET = True
+    try:
+        yield
+    finally:
+        _FORCE_INTERPRET = prev
 
 
 def atan_unit(t):
@@ -190,7 +210,12 @@ def grid_call(kernel, packed, seed, tile: int):
 
     rows, sublanes, lanes = packed.shape
     tile = min(tile, lanes)
-    assert lanes % tile == 0, (lanes, tile)
+    if lanes % tile:
+        # non-divisible env counts (e.g. 12288 envs -> lanes=1536 vs
+        # tile=1024) degrade to the largest divisor instead of dying; the
+        # grid just gets more, smaller launches. Lanes is always a multiple
+        # of 128 upstream (packed envs pad to the vreg lane width).
+        tile = max(d for d in range(1, tile + 1) if lanes % d == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(lanes // tile,),
@@ -203,6 +228,7 @@ def grid_call(kernel, packed, seed, tile: int):
         kernel,
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         grid_spec=grid_spec,
+        interpret=_FORCE_INTERPRET,
     )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
 
 

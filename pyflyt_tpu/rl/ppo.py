@@ -307,6 +307,11 @@ class PPO:
         # gracefully toward the exact per-sample permutation). gcd would
         # under-shoot when the two share few factors (16 vs 24 -> 8, not 12)
         # and silently lose most of the block-gather win.
+        if int(cfg.shuffle_block) < 1:
+            raise ValueError(
+                f"shuffle_block must be >= 1, got {cfg.shuffle_block} "
+                "(1 = exact per-sample permutation)"
+            )
         blk = max(
             d
             for d in range(1, int(cfg.shuffle_block) + 1)
@@ -431,7 +436,13 @@ class PPO:
         )
         # envs first report time-limit truncation on call max_steps+2 (the
         # reference's post-increment counter), so the horizon must cover it
-        max_len = getattr(self.env, "max_steps", 400) + 2
+        if not hasattr(self.env, "max_steps"):
+            raise AttributeError(
+                "evaluate() needs env.max_steps to size the episode horizon; "
+                f"{type(self.env).__name__} does not define it. Set a "
+                "max_steps attribute on the env (the per-episode step limit)."
+            )
+        max_len = int(self.env.max_steps) + 2
         (_, _, done, ep_rew, ep_len), _ = jax.lax.scan(
             body, init, None, length=max_len
         )

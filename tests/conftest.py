@@ -29,13 +29,12 @@ import pytest  # noqa: E402
 def interpret_pallas(monkeypatch):
     """Force pallas_call into interpret mode (CPU): the kernel parity test
     files opt in with ``pytestmark = pytest.mark.usefixtures(...)``. Real
-    Mosaic lowering is exercised on hardware by bench.py / bench_suite.py."""
-    import jax.experimental.pallas as pl
+    Mosaic lowering is exercised on hardware by bench.py / bench_suite.py.
 
-    orig = pl.pallas_call
+    Every kernel in the package launches through
+    pyflyt_tpu.ops.pallas_math.grid_call, which consults the module-level
+    _FORCE_INTERPRET flag — flip it for the test instead of monkeypatching
+    jax.experimental.pallas.pallas_call process-wide."""
+    from pyflyt_tpu.ops import pallas_math
 
-    def patched(*a, **k):
-        k["interpret"] = True
-        return orig(*a, **k)
-
-    monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setattr(pallas_math, "_FORCE_INTERPRET", True)

@@ -90,6 +90,11 @@ def wrench_schedule(name, steps):
         elif name == "const_thrust":
             forces.append([0.0, 0.0, 0.35])
             torques.append([0.0, 0.0, 0.0])
+        elif name == "touchdown_thrust":
+            # sub-hover body-z thrust (mg = 0.2649 N): a powered descent that
+            # stays powered through touchdown, like a landing quad
+            forces.append([0.0, 0.0, 0.15])
+            torques.append([0.0, 0.0, 0.0])
         elif name == "plane_aero_like":
             # forces/torques at fixedwing scale: forward pull + lift + moments
             forces.append(
@@ -191,5 +196,110 @@ SCENARIOS = {
         ang_vel_world=[0.0, 0.0, 0.0],
         steps=1200,
         wrench="plane_aero_like",
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# contact-phase scenarios (VERDICT r2 missing-item 1)
+# ---------------------------------------------------------------------------
+# The repo's plane-contact model (core/integrator.py::ground_contact) is an
+# impulse-lite approximation of what the reference gets from PyBullet's
+# constraint solver (aviary.py:493-496), and the Rocket-Landing task *pays
+# reward on* post-contact dynamics (rocket_landing_env.py:229-258). These
+# scenarios record the SAME drop/touchdown/slide events from MuJoCo's contact
+# solver so tests/test_mujoco_parity.py can bound the divergence instead of
+# leaving the contact phase entirely uncross-checked.
+#
+# Geometry mapping that makes the two models comparable: each body-frame
+# contact sample point becomes a MuJoCo sphere geom of radius
+# ``contact_radius`` CENTERED at that point. A sphere-vs-plane contact
+# activates exactly when the center's world z drops below the radius —
+# identical to the repo's point-vs-plane test with ``ground_z=radius``,
+# independent of body tilt. The residual modeling differences are real and
+# intended to be measured: MuJoCo applies force at the sphere's bottom
+# (lever arm longer by ~radius), resolves all active contacts simultaneously
+# through a soft (solref 0.02 s) constraint, while the repo applies one
+# impulse at the depth-weighted centroid with hard projection.
+
+# rocket-scale composite: base 91 + booster 47 + 4 fins (rocket.yaml frame);
+# inertia is representative (test exercises contact, not the fuel model)
+ROCKET_DRY_MASS = 138.2
+ROCKET_INERTIA_DIAG = [565.0, 565.0, 2.36]
+
+QUADX_FEET = [
+    [0.04, 0.04, -0.02],
+    [-0.04, 0.04, -0.02],
+    [0.04, -0.04, -0.02],
+    [-0.04, -0.04, -0.02],
+]
+# the rocket's 3 landing-leg tips (rocket.yaml contact_points[:3])
+ROCKET_LEGS = [
+    [0.0, 0.6, -2.425],
+    [0.5196, -0.3, -2.425],
+    [-0.5196, -0.3, -2.425],
+]
+
+CONTACT_SCENARIOS = {
+    # free drop onto the plane, settle flat on four feet: validates the
+    # normal impulse + positional projection against a real contact solver
+    "contact_drop_settle_quadx": dict(
+        mass=QUADX_MASS,
+        inertia=QUADX_INERTIA_DIAG,
+        pos=[0.0, 0.0, 0.30],
+        quat_wxyz=euler_to_quat_wxyz(0.0, 0.0, 0.0),
+        lin_vel=[0.0, 0.0, 0.0],
+        ang_vel_world=[0.0, 0.0, 0.0],
+        steps=480,
+        wrench=None,
+        points=QUADX_FEET,
+        friction=0.5,
+        contact_radius=0.002,
+    ),
+    # land with lateral speed, Coulomb-slide to rest: validates the friction
+    # impulse magnitude (slide distance ~ v^2 / 2 mu g)
+    "contact_slide_friction_quadx": dict(
+        mass=QUADX_MASS,
+        inertia=QUADX_INERTIA_DIAG,
+        pos=[0.0, 0.0, 0.06],
+        quat_wxyz=euler_to_quat_wxyz(0.0, 0.0, 0.0),
+        lin_vel=[1.5, 0.0, 0.0],
+        ang_vel_world=[0.0, 0.0, 0.0],
+        steps=480,
+        wrench=None,
+        points=QUADX_FEET,
+        friction=0.5,
+        contact_radius=0.002,
+    ),
+    # tilted powered descent through touchdown (the round-2 VERDICT's
+    # "tilted-thrust touchdown"): thrust stays body-fixed while the feet
+    # touch one corner first
+    "contact_tilted_touchdown_quadx": dict(
+        mass=QUADX_MASS,
+        inertia=QUADX_INERTIA_DIAG,
+        pos=[0.0, 0.0, 0.20],
+        quat_wxyz=euler_to_quat_wxyz(0.15, -0.10, 0.0),
+        lin_vel=[0.2, 0.0, -0.4],
+        ang_vel_world=[0.0, 0.0, 0.0],
+        steps=480,
+        wrench="touchdown_thrust",
+        points=QUADX_FEET,
+        friction=0.5,
+        contact_radius=0.002,
+    ),
+    # rocket-scale leg touchdown at landing speed (the Rocket-Landing task's
+    # reward-bearing event, rocket_landing_env.py:229-258)
+    "contact_rocket_legs": dict(
+        mass=ROCKET_DRY_MASS,
+        inertia=ROCKET_INERTIA_DIAG,
+        pos=[0.0, 0.0, 3.0],
+        quat_wxyz=euler_to_quat_wxyz(0.02, -0.015, 0.0),
+        lin_vel=[0.1, 0.0, -2.0],
+        ang_vel_world=[0.0, 0.0, 0.0],
+        steps=480,
+        wrench=None,
+        points=ROCKET_LEGS,
+        friction=0.5,
+        contact_radius=0.03,
     ),
 }
