@@ -155,12 +155,51 @@ def ground_contact(
     params: RigidBodyParams,
     geom: ContactGeom,
     ground_z: float | Array = 0.0,
+    per_point_iters: int | None = None,
 ) -> tuple[Body6DoF, Array]:
     """Detects and resolves contact of body-frame sample points with z=ground_z.
 
-    Sequential-impulse-lite: one batched pass of normal + friction impulses at
-    the deepest point, plus positional projection. Returns (state, contact?).
+    Default (``per_point_iters=None``): sequential-impulse-lite — one batched
+    pass of normal + friction impulses at the depth-weighted centroid, plus
+    positional projection. Returns (state, contact?).
+
+    ``per_point_iters=k`` instead runs ``k`` Gauss-Seidel sweeps applying an
+    impulse at EVERY penetrating point — better multi-point resting dynamics
+    at ~``k * n_pts`` times the impulse cost. Opt-in: the vehicle fast paths
+    (and the rocket Pallas kernel, which mirrors the default's math
+    in-register) keep the centroid model.
+
+    Divergence vs MuJoCo's contact solver, measured on the recorded
+    golden traces (tests/fixtures/mujoco_contact_*.npz, float32, 2 s):
+
+    ================================  ===============  ==================
+    scenario                          centroid model   per-point (k=4)
+    ================================  ===============  ==================
+    4-feet drop + settle (quadx)      1.2 cm max pos   1.7 cm max pos
+    slide to rest under friction      1.1 cm, BUT a    0.7 cm, residual
+                                      2 rad/s residual spin 0.2 rad/s
+                                      spin (no spin
+                                      damping from a
+                                      single centroid
+                                      impulse)
+    tilted powered touchdown          1.0 cm pos, but  1.1 cm pos,
+                                      0.42 settle-     0.011 settle-
+                                      attitude error   attitude error
+    rocket 3-leg touchdown (2 m/s)    17.5 cm max pos  13.2 cm max pos
+                                      (rocking phase   (same rocking
+                                      offset)          character)
+    ================================  ===============  ==================
+
+    The centroid artifacts only surface AFTER contact; every quadx/fixedwing
+    task terminates on contact (gym_envs/..: term on ground hit), so the
+    reward-bearing exposure is the Rocket-Landing settle
+    (rocket_landing_env.py:229-258), where the two models agree to ~4 cm.
+    tests/test_mujoco_parity.py asserts these bounds for both modes.
     """
+    if per_point_iters is not None:
+        return _ground_contact_per_point(
+            body, params, geom, ground_z, per_point_iters
+        )
     R = pm.quat_to_rotmat(body.quat)
     # world positions of contact points: (..., n, 3)
     pts_w = body.pos[..., None, :] + jnp.einsum("...ij,...nj->...ni", R, geom.points)
@@ -226,3 +265,78 @@ def ground_contact(
     ang_vel = jnp.where(contact[..., None], ang_vel, body.ang_vel)
 
     return Body6DoF(pos=pos, quat=body.quat, lin_vel=lin_vel, ang_vel=ang_vel), contact
+
+
+def _ground_contact_per_point(
+    body: Body6DoF,
+    params: RigidBodyParams,
+    geom: ContactGeom,
+    ground_z: float | Array,
+    n_iter: int,
+) -> tuple[Body6DoF, Array]:
+    """Gauss-Seidel sweeps of per-point normal+friction impulses (see
+    ground_contact). The point set and penetration mask are frozen at the
+    pre-resolution pose (the standard one-shot manifold of impulse solvers);
+    the unrolled point loop is trace-time static, so XLA sees straight-line
+    vector code with no gathers."""
+    R = pm.quat_to_rotmat(body.quat)
+    pts_w = body.pos[..., None, :] + jnp.einsum(
+        "...ij,...nj->...ni", R, geom.points
+    )
+    depth = ground_z - pts_w[..., 2]
+    pen = depth > 0.0
+    contact = jnp.any(pen, axis=-1)
+    max_depth = jnp.max(depth, axis=-1)
+
+    mass = jnp.asarray(params.mass)
+    inertia_w_inv = 1.0 / jnp.einsum(
+        "...ij,...j->...i", R * R, params.inertia_diag()
+    )
+    n = jnp.asarray([0.0, 0.0, 1.0], dtype=body.pos.dtype)
+    xy = jnp.asarray([1.0, 1.0, 0.0], dtype=body.pos.dtype)
+
+    lin_vel, ang_vel = body.lin_vel, body.ang_vel
+    n_pts = geom.points.shape[-2]
+    for _ in range(n_iter):
+        for i in range(n_pts):
+            r_w = pts_w[..., i, :] - body.pos
+            active = pen[..., i]
+            v_pt = lin_vel + jnp.cross(ang_vel, r_w)
+            v_n = v_pt[..., 2]
+            rxn = jnp.cross(r_w, n)
+            k_n = 1.0 / mass + jnp.sum(rxn * rxn * inertia_w_inv, axis=-1)
+            j_n = jnp.maximum(-(1.0 + geom.restitution) * v_n / k_n, 0.0)
+            j_n = jnp.where(active & (v_n < 0.0), j_n, 0.0)
+            impulse = j_n[..., None] * n
+
+            v_t = v_pt * xy
+            v_t_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
+            t_dir = v_t / jnp.maximum(v_t_norm, 1e-9)
+            rxt = jnp.cross(r_w, t_dir)
+            k_t = 1.0 / mass + jnp.sum(rxt * rxt * inertia_w_inv, axis=-1)
+            j_t = jnp.minimum(v_t_norm[..., 0] / k_t, geom.friction * j_n)
+            impulse = impulse - jnp.where(
+                active[..., None], j_t[..., None] * t_dir, 0.0
+            )
+
+            lin_vel = lin_vel + impulse / mass[..., None]
+            ang_vel = ang_vel + jnp.cross(r_w, impulse) * inertia_w_inv
+
+    pos = body.pos + jnp.where(
+        contact[..., None],
+        jnp.stack(
+            [
+                jnp.zeros_like(max_depth),
+                jnp.zeros_like(max_depth),
+                jnp.maximum(max_depth, 0.0),
+            ],
+            axis=-1,
+        ),
+        0.0,
+    )
+    lin_vel = jnp.where(contact[..., None], lin_vel, body.lin_vel)
+    ang_vel = jnp.where(contact[..., None], ang_vel, body.ang_vel)
+    return (
+        Body6DoF(pos=pos, quat=body.quat, lin_vel=lin_vel, ang_vel=ang_vel),
+        contact,
+    )

