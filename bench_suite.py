@@ -162,6 +162,101 @@ def check_fused_parity():
              jax.jit(pqw.step), pk_st, act, atol=1e-3)
 
 
+def check_kernel_envelope():
+    """Real-lowering gates for the quadx kernel envelope beyond the fused
+    envs' configurations: mode 9 (raw motor mix), NED_FRD (modes 0 and 9),
+    and the baked deterministic gaussian wind — the paths the CPU suite
+    only exercises in interpret mode (tests/test_pallas_quadx.py:179-290;
+    VERDICT r2 weak-item 1 asked for these on hardware)."""
+    import numpy as np
+
+    from pyflyt_tpu.models import quadx
+    from pyflyt_tpu.ops import pallas_quadx
+
+    def report(name):
+        print(json.dumps({"metric": f"quadx-kernel {name} mosaic-parity",
+                          "value": 1, "unit": "ok"}), flush=True)
+
+    n = 128
+    key = jax.random.PRNGKey(12)
+
+    def spawn(cfg, params, z, seed=12):
+        k = jax.random.PRNGKey(seed)
+        pos = jax.random.uniform(k, (n, 3), minval=-2, maxval=2) + jnp.asarray(
+            [0.0, 0.0, z]
+        )
+        orn = jax.random.uniform(
+            jax.random.fold_in(k, 1), (n, 3), minval=-0.3, maxval=0.3
+        )
+        st = quadx.init_state(params, cfg, pos, orn)
+        return st.replace(read=quadx.update_state(st.body, cfg))
+
+    with jax.default_matmul_precision("float32"):
+        # mode 9 + NED (the solved RL recipe's exact configuration)
+        for orn_conv, z in (("ENU_FLU", 5.0), ("NED_FRD", -5.0)):
+            for mode in (0, 9):
+                cfg = quadx.QuadXConfig(noisy_motors=False, orn_conv=orn_conv)
+                params = quadx.build_params(cfg)
+                st = spawn(cfg, params, z)
+                st = quadx.set_mode(st, mode, cfg)
+                neg = -1.0 if orn_conv == "NED_FRD" else 1.0
+                sp = (
+                    jax.random.uniform(key, (n, 4), minval=-0.3, maxval=0.3)
+                    .at[:, 3].set(0.4 * neg)
+                    if mode == 0
+                    else jax.random.uniform(
+                        key, (n, 4), minval=-0.05, maxval=0.05
+                    ).at[:, 3].set(0.4)
+                )
+                st = st.replace(setpoint=sp)
+                ref_step = jax.jit(lambda s: quadx.step(s, params, cfg, mode))
+                krn_step = jax.jit(
+                    lambda s: pallas_quadx.step(s, params, cfg, mode)
+                )
+                ref = out = st
+                for _ in range(8):
+                    ref, _ = ref_step(ref)
+                    out, _ = krn_step(out)
+                np.testing.assert_allclose(
+                    np.asarray(out.body.pos), np.asarray(ref.body.pos),
+                    atol=1e-4, err_msg=f"{orn_conv} mode {mode} pos",
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out.read.view), np.asarray(ref.read.view),
+                    atol=2e-4, err_msg=f"{orn_conv} mode {mode} view",
+                )
+                report(f"mode{mode}-{orn_conv}")
+
+        # baked deterministic gaussian wind vs the XLA path's wind_fn
+        cfg = quadx.QuadXConfig(noisy_motors=False)
+        params = quadx.build_params(cfg)
+        st = spawn(cfg, params, 5.0, seed=5)
+        st = st.replace(
+            setpoint=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.42]), (n, 1))
+        )
+        st = quadx.set_mode(st, 0, cfg)
+        base = (3.0, -1.5, 0.5)
+        wind_fn = lambda step, p: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(base, p.dtype), p.shape
+        )
+        ref_step = jax.jit(lambda s: quadx.step(s, params, cfg, 0, wind_fn=wind_fn))
+        krn_step = jax.jit(
+            lambda s: pallas_quadx.step(
+                s, params, cfg, 0,
+                wind={"kind": "gaussian", "base": base, "max_gust": 0.0},
+            )
+        )
+        ref = out = st
+        for _ in range(12):
+            ref, _ = ref_step(ref)
+            out, _ = krn_step(out)
+        np.testing.assert_allclose(
+            np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=5e-4,
+            err_msg="gaussian wind pos",
+        )
+        report("gaussian-wind")
+
+
 def main():
     from pyflyt_tpu.envs import (
         FixedwingWaypointsEnv,
@@ -172,6 +267,7 @@ def main():
     from pyflyt_tpu.rl import PPO, PPOConfig
 
     check_fused_parity()
+    check_kernel_envelope()
 
     bench_env(
         "QuadX-Hover", QuadXHoverEnv(), 8192, 128,
@@ -278,6 +374,20 @@ def main():
         matches, 32,
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (matches, 2, 1)),
         agents=2,
+    )
+
+    # vision task: QuadX-Gates with the on-device ray-cast FPV render
+    # (core/camera.py) at the reference's 128x128 resolution
+    # (quadx_gates_env.py:69-84). The render dominates: each env-step casts
+    # 128*128 rays against ~5 gates x 4 bars + ground. VERDICT r2 weak-item
+    # 6 asked for a recorded number for this path.
+    from pyflyt_tpu.envs.quadx_gates import QuadXGatesEnv
+
+    gates = QuadXGatesEnv()
+    g_envs, g_steps = 256, 8
+    bench_env(
+        "QuadX-Gates (128x128 raycast)", gates, g_envs, g_steps,
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.5]), (g_envs, 1)),
     )
 
     # fused PPO train iteration
