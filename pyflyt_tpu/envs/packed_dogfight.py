@@ -1,11 +1,14 @@
-"""Fused-kernel MA Fixedwing Dogfight: arenas on lanes, drones on row banks.
+"""Fused-kernel MA Fixedwing Dogfight: one DRONE per lane element.
 
-Fast-path wrapper around ``ops/pallas_dogfight.py``: ``N`` arenas (2N agents)
-live in a folded ``(128, 8, N/8)`` state — drone 0 in rows 0-52, drone 1 in
-rows 53-105 (the ops/pallas_fixedwing.py bank layout), engagement memos and
-episode flags in rows 106-127. ``step`` runs the WHOLE dogfight agent step
-(4 aviary steps x 2 physics iterations x 2 drones + engagement rewards with
-the reference's memo lag + termination bookkeeping) in ONE ``pallas_call``;
+Fast-path wrapper around ``ops/pallas_dogfight.py``: 2N drones of ``N``
+arenas live in a folded ``(72, 8, 2N/8)`` state — the single
+ops/pallas_fixedwing.py bank in rows 0-52 plus 13 per-drone engagement/
+episode rows, with every arena's drone 0 in sublanes 0-3 and its opponent 4
+sublanes away (the kernel's partner exchange is one sublane roll; see
+ops/pallas_dogfight.py for why this beats the old two-banks-per-lane
+layout). ``step`` runs the WHOLE dogfight agent step (4 aviary steps x 2
+physics iterations + engagement rewards with the reference's memo lag +
+termination bookkeeping) in ONE ``pallas_call``;
 the 30-dim observation pair is assembled here in XLA from the final packed
 state (ma_fixedwing_dogfight_env.py:209-248 — the reference recomputes it
 every aviary step but only the last one is ever observed).
@@ -40,7 +43,7 @@ from pyflyt_tpu.ops import pallas_fixedwing as pfw
 
 @struct.dataclass
 class PackedDogfightEnvState:
-    packed: Array  # (pdg.ROWS, 8, N/8)
+    packed: Array  # (pdg.ROWS, 8, 2N/8)
     key: Array
     alive: Array  # (N, 2) bool
     current_actions: Array  # (N, 2, A)
@@ -62,52 +65,65 @@ class PackedMAFixedwingDogfightEnv:
 
     # ----- layout conversions ---------------------------------------------
     def pack_env_state(self, st: DogfightState) -> Array:
-        """Batched (N,) DogfightState -> packed (ROWS, 8, N/8) array."""
+        """Batched (N,) DogfightState -> packed (ROWS, 8, 2N/8) array.
+
+        Drone axis ordering: flat index m*N + a (all drone 0s, then all
+        drone 1s). The row-major fold onto 8 sublanes then puts drone m of
+        arena a exactly 4 sublanes from drone 1-m of the same arena — the
+        kernel's partner-roll invariant."""
         n = st.health.shape[0]
-        banks = []
-        for m in range(2):
-            drone_m = jax.tree.map(lambda x: x[:, m], st.drones)
-            banks.append(
-                pfw.pack_state(drone_m).reshape(pfw.ROWS, n)[: pdg.D_ROWS]
-            )
-        f32 = banks[0].dtype
+        # (N, 2) drone pytree -> flat (2N,) with drones [d0s..., d1s...]
+        drones = jax.tree.map(
+            lambda x: jnp.concatenate([x[:, 0], x[:, 1]]), st.drones
+        )
+        bank = pfw.pack_state(drones).reshape(pfw.ROWS, 2 * n)[: pdg.D_ROWS]
+        f32 = bank.dtype
+
+        def dup(x):  # arena-shared value -> both drones
+            return jnp.tile(x, 2)
+
+        def per_drone(x):  # (N, 2) -> (2N,)
+            return jnp.concatenate([x[:, 0], x[:, 1]])
+
+        zeros = jnp.zeros((2 * n,), f32)
         env_rows = jnp.stack(
             [
-                st.health[:, 0], st.health[:, 1],
-                st.current_angles[:, 0], st.current_angles[:, 1],
-                st.prev_angles[:, 0], st.prev_angles[:, 1],
-                st.current_hits[:, 0].astype(f32),
-                st.current_hits[:, 1].astype(f32),
-                st.current_distance, st.prev_distance,
-                jnp.zeros((n,), f32), jnp.zeros((n,), f32),  # term
-                jnp.zeros((n,), f32), jnp.zeros((n,), f32),  # trunc
-                jnp.zeros((n,), f32), jnp.zeros((n,), f32),  # reward
-                jnp.zeros((n,), f32), jnp.zeros((n,), f32),  # collf
-                jnp.zeros((n,), f32), jnp.zeros((n,), f32),  # oobf
-                jnp.zeros((n,), f32),                        # other_dead
-                st.step_count.astype(f32),
+                per_drone(st.health),
+                per_drone(st.current_angles),
+                per_drone(st.prev_angles),
+                per_drone(st.current_hits.astype(f32)),
+                dup(st.current_distance),
+                dup(st.prev_distance),
+                zeros,  # term
+                zeros,  # trunc
+                zeros,  # reward
+                zeros,  # collf
+                zeros,  # oobf
+                zeros,  # other_dead
+                dup(st.step_count.astype(f32)),
             ],
             axis=0,
         )
-        pad = pdg.ROWS - 2 * pdg.D_ROWS - env_rows.shape[0]
+        pad = pdg.ROWS - pdg.D_ROWS - env_rows.shape[0]
         packed = jnp.concatenate(
-            [*banks, env_rows, jnp.zeros((pad, n), f32)], axis=0
+            [bank, env_rows, jnp.zeros((pad, 2 * n), f32)], axis=0
         )
-        return packed.reshape(pdg.ROWS, pdg.SUBLANES, n // pdg.SUBLANES)
+        return packed.reshape(pdg.ROWS, pdg.SUBLANES, 2 * n // pdg.SUBLANES)
 
     # ----- observation assembly (ma_fixedwing_dogfight_env.py:164-248) -----
     def _obs(self, flat: Array, past_actions: Array) -> Array:
-        """(ROWS, N) flat rows -> (N, 2, 30) observation pair, identical math
-        to MAFixedwingDogfightEnv._agent_states on the final aviary step."""
-        n = flat.shape[1]
+        """(ROWS, 2N) flat rows -> (N, 2, 30) observation pair, identical
+        math to MAFixedwingDogfightEnv._agent_states on the final aviary
+        step."""
+        n = flat.shape[1] // 2
         view = jnp.stack(
             [
-                flat[pdg._D0 + pfw._VIEW : pdg._D0 + pfw._VIEW + 12].T,
-                flat[pdg._D1 + pfw._VIEW : pdg._D1 + pfw._VIEW + 12].T,
+                flat[pfw._VIEW : pfw._VIEW + 12, :n].T,
+                flat[pfw._VIEW : pfw._VIEW + 12, n:].T,
             ],
             axis=1,
         ).reshape(n, 2, 4, 3)
-        health = jnp.stack([flat[pdg._HP], flat[pdg._HP + 1]], axis=1)
+        health = jnp.stack([flat[pdg._HP, :n], flat[pdg._HP, n:]], axis=1)
         rotation, forward = compute_rotation_forward(view[:, :, 1])
         gun_pos = view[:, :, 3] - forward * 0.35
         attitudes = view.at[:, :, 3].set(gun_pos)
@@ -165,16 +181,16 @@ class PackedMAFixedwingDogfightEnv:
         agents_mask = state.alive
         actions = jnp.asarray(actions, dtype=f32)
         actions = jnp.where(agents_mask[..., None], actions, 0.0)
-        # setpoint rows (padded to the 6-row bank slot) + other-dead flag
-        for m, base in enumerate((pdg._D0, pdg._D1)):
-            sp = actions[:, m]
-            a_dim = sp.shape[-1]
-            flat = flat.at[base + pfw._SP : base + pfw._SP + a_dim].set(sp.T)
-            if a_dim < 6:
-                flat = flat.at[
-                    base + pfw._SP + a_dim : base + pfw._SP + 6
-                ].set(0.0)
-        other_dead = (jnp.sum(agents_mask, axis=1) < 2).astype(f32)
+        # setpoint rows (padded to the 6-row bank slot) + other-dead flag;
+        # drone order [d0s..., d1s...] matches pack_env_state
+        sp = jnp.concatenate([actions[:, 0], actions[:, 1]])  # (2N, A)
+        a_dim = sp.shape[-1]
+        flat = flat.at[pfw._SP : pfw._SP + a_dim].set(sp.T)
+        if a_dim < 6:
+            flat = flat.at[pfw._SP + a_dim : pfw._SP + 6].set(0.0)
+        other_dead = jnp.tile(
+            (jnp.sum(agents_mask, axis=1) < 2).astype(f32), 2
+        )
         flat = flat.at[pdg._OTHD].set(other_dead)
 
         out = pdg.packed_dogfight_step(
@@ -193,14 +209,15 @@ class PackedMAFixedwingDogfightEnv:
             sparse=b.sparse_reward,
         )
         oflat = out.reshape(pdg.ROWS, -1)
-        term = jnp.stack(
-            [oflat[pdg._TERM] > 0.5, oflat[pdg._TERM + 1] > 0.5], axis=1
-        )
-        trunc = jnp.stack(
-            [oflat[pdg._TRUNC] > 0.5, oflat[pdg._TRUNC + 1] > 0.5], axis=1
-        )
-        reward = jnp.stack([oflat[pdg._RWD], oflat[pdg._RWD + 1]], axis=1)
-        health = jnp.stack([oflat[pdg._HP], oflat[pdg._HP + 1]], axis=1)
+        narena = oflat.shape[1] // 2
+
+        def pair(row):  # (2N,) flat row -> (N, 2)
+            return jnp.stack([oflat[row, :narena], oflat[row, narena:]], axis=1)
+
+        term = pair(pdg._TERM) > 0.5
+        trunc = pair(pdg._TRUNC) > 0.5
+        reward = pair(pdg._RWD)
+        health = pair(pdg._HP)
         # the obs's past-action block is the action of the PREVIOUS step:
         # the reference rolls past <- current at step entry and _agent_states
         # reads past_actions (ma_fixedwing_dogfight_env.py:240-248)
@@ -219,14 +236,8 @@ class PackedMAFixedwingDogfightEnv:
             truncation=trunc,
             agents_mask=agents_mask,
             info={
-                "collision": jnp.stack(
-                    [oflat[pdg._COLLF] > 0.5, oflat[pdg._COLLF + 1] > 0.5],
-                    axis=1,
-                ),
-                "out_of_bounds": jnp.stack(
-                    [oflat[pdg._OOBF] > 0.5, oflat[pdg._OOBF + 1] > 0.5],
-                    axis=1,
-                ),
+                "collision": pair(pdg._COLLF) > 0.5,
+                "out_of_bounds": pair(pdg._OOBF) > 0.5,
                 "wins": jnp.broadcast_to(
                     (health <= 0.0)[:, None, :], health.shape[:1] + (2, 2)
                 ),
