@@ -237,7 +237,10 @@ def ground_contact(
 
     # --- friction impulse (Coulomb clamp against tangential point velocity)
     v_t = v_pt * jnp.asarray([1.0, 1.0, 0.0], dtype=body.pos.dtype)
-    v_t_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
+    # pm.safe_norm: the tangential velocity is exactly 0 for a body at rest,
+    # where linalg.norm's cotangent is NaN and would poison BPTT through the
+    # whole airborne trajectory (the where-mask below does not block it)
+    v_t_norm = pm.safe_norm(v_t, keepdims=True)
     t_dir = v_t / jnp.maximum(v_t_norm, 1e-9)
     rxt = jnp.cross(r_w, t_dir)
     k_t = 1.0 / mass + jnp.sum(rxt * rxt * inertia_w_inv, axis=-1)
@@ -310,7 +313,7 @@ def _ground_contact_per_point(
             impulse = j_n[..., None] * n
 
             v_t = v_pt * xy
-            v_t_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
+            v_t_norm = pm.safe_norm(v_t, keepdims=True)  # grad-safe at rest
             t_dir = v_t / jnp.maximum(v_t_norm, 1e-9)
             rxt = jnp.cross(r_w, t_dir)
             k_t = 1.0 / mass + jnp.sum(rxt * rxt * inertia_w_inv, axis=-1)

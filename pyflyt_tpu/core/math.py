@@ -22,9 +22,24 @@ import jax.numpy as jnp
 from jax import Array
 
 
+def safe_norm(v: Array, axis: int = -1, keepdims: bool = False) -> Array:
+    """``jnp.linalg.norm`` with a NaN-free gradient at ``v = 0``.
+
+    ``d‖v‖/dv = v/‖v‖`` is 0/0 at the origin, and a downstream ``where``/
+    ``maximum`` does NOT block the NaN cotangent (it multiplies it by zero).
+    The double-``where`` idiom keeps the forward value identical
+    (``‖v‖``, exactly 0 at the origin) while the sqrt branch never sees 0.
+    Needed wherever the differentiable sim takes norms of quantities that
+    are exactly zero at rest (contact tangential velocity, freestream speed).
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    nonzero = sq > 0.0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, sq, 1.0)), 0.0)
+
+
 def normalize(v: Array, eps: float = 1e-12) -> Array:
-    """Normalizes the last axis of ``v`` to unit length."""
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Normalizes the last axis of ``v`` to unit length (grad-safe at 0)."""
+    return v / jnp.maximum(safe_norm(v, keepdims=True), eps)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,8 @@ import numpy as np
 from flax import struct
 from jax import Array
 
+from pyflyt_tpu.core import math as pm
+
 HALF_RHO = 0.5 * 1.225  # lifting_surfaces.py:224
 
 
@@ -108,7 +110,9 @@ def aoa_freestream(
 ) -> tuple[Array, Array]:
     """Angle of attack + freestream speed from body-frame surface velocity
     (lifting_surfaces.py:315-335)."""
-    freestream = jnp.linalg.norm(local_velocity, axis=-1)
+    # grad-safe norm: zero airspeed (pre-launch rest) must not NaN-poison
+    # gradients taken through the aero model (core/math.py safe_norm)
+    freestream = pm.safe_norm(local_velocity)
     lifting = jnp.sum(local_velocity * params.lift_unit, axis=-1)
     forward = jnp.sum(local_velocity * params.drag_unit, axis=-1)
     alpha = jnp.arctan2(-lifting, forward)
