@@ -24,6 +24,8 @@ import sys
 import time
 import traceback
 
+sys.path.insert(0, "/root/repo")  # the script lives in docs/artifacts
+
 import jax
 
 T0 = time.time()
