@@ -38,6 +38,40 @@ def restore(path: str, template: Any) -> Any:
     return restored
 
 
+def restore_params(path: str, params_template: Any) -> Any:
+    """Restores ONLY the ``params`` subtree of a saved RunnerState.
+
+    Used for warm-start fine-tuning across run configs (different num_envs /
+    episode horizon / optimizer state), the counterpart of the reference's
+    ``PPO.load(path=".../best_model_*.zip")`` curriculum step
+    (rl_training/trajectory_following_slow/training.py:206-211). The network
+    shapes must match; everything else (env states, optimizer moments, PRNG)
+    starts fresh.
+    """
+    import jax.numpy as jnp
+
+    path = os.path.abspath(path)
+    raw = _checkpointer().restore(path)
+    raw_params = raw["params"]
+    flat_t, treedef = jax.tree_util.tree_flatten(params_template)
+    flat_r = jax.tree_util.tree_leaves(raw_params)
+    if len(flat_t) != len(flat_r):
+        raise ValueError(
+            f"checkpoint params tree ({len(flat_r)} leaves) does not match "
+            f"the model ({len(flat_t)} leaves) — warm start needs identical "
+            "network architecture"
+        )
+    for t, r in zip(flat_t, flat_r):
+        if tuple(t.shape) != tuple(r.shape):
+            raise ValueError(
+                f"warm-start shape mismatch: checkpoint {r.shape} vs model "
+                f"{t.shape} — observation/action sizes must agree"
+            )
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(r, t.dtype) for t, r in zip(flat_t, flat_r)]
+    )
+
+
 def best_model_name(idx: int, mean_len: float, std_len: float,
                     mean_rew: float, std_rew: float) -> str:
     """The reference's best-model naming convention

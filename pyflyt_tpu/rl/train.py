@@ -31,6 +31,13 @@ class TrainConfig:
     checkpoint_every_updates: int = 0  # 0 = only best-model checkpoints
     use_mesh: bool = False  # shard env axis over all local devices
     seed: int = 0
+    # Warm start: checkpoint path whose policy/value params seed this run
+    # (fresh optimizer + env states). The reference fine-tunes the same way
+    # via PPO.load(path=".../best_model_*.zip") in both trajectory training
+    # scripts (rl_training/trajectory_following_slow/training.py:206-211,
+    # trajectory_following_fast/training.py:202-207) — its slow variant was
+    # never trained from scratch, only from an 801-step-episode checkpoint.
+    init_from: str | None = None
 
 
 def train(
@@ -41,6 +48,10 @@ def train(
     """Runs PPO until ``total_timesteps`` env steps are consumed."""
     key = jax.random.PRNGKey(tcfg.seed)
     runner = ppo.init(key)
+    if tcfg.init_from:
+        runner = runner.replace(
+            params=checkpoint.restore_params(tcfg.init_from, runner.params)
+        )
 
     mesh = None
     if tcfg.use_mesh:

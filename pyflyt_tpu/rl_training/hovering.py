@@ -115,6 +115,7 @@ def cmd_train(args):
             log_dir=args.log_dir,
             use_mesh=args.use_mesh,
             seed=args.seed,
+            init_from=args.init_from,
         ),
         on_metrics=lambda u, row: print(json.dumps(row)),
     )
@@ -212,6 +213,8 @@ def main(argv=None):
     t.add_argument("--cached_reset_refresh", type=int, default=0)
     t.add_argument("--num_of_layers", type=int, default=2)
     t.add_argument("--layer_size", type=int, default=256)
+    # warm start from a saved checkpoint (the reference's PPO.load curriculum)
+    t.add_argument("--init_from", type=str, default=None)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
     t.add_argument("--log_dir", type=str, default=None)

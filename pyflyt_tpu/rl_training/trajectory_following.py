@@ -84,6 +84,7 @@ def cmd_train(args):
             log_dir=args.log_dir,
             use_mesh=args.use_mesh,
             seed=args.seed,
+            init_from=args.init_from,
         ),
         on_metrics=lambda u, row: print(json.dumps(row)),
     )
@@ -279,6 +280,9 @@ def main(argv=None):
     t.add_argument("--log_std_max", type=float, default=None)
     # amortized auto-reset period in steps (0 = exact per-step resets)
     t.add_argument("--cached_reset_refresh", type=int, default=0)
+    # warm start from a saved checkpoint (the reference's PPO.load curriculum,
+    # trajectory_following_slow/training.py:206-211)
+    t.add_argument("--init_from", type=str, default=None)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
     t.add_argument("--log_dir", type=str, default=None)

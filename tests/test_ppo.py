@@ -1,6 +1,8 @@
 """PPO trainer tests: machinery, sharding, and a small learning check
 (reference pipeline: PyFlyt/rl_training/hovering/training.py)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +103,41 @@ def test_checkpoint_roundtrip(tmp_path):
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.update_idx) == 1
+
+
+def test_warm_start_restore_params(tmp_path):
+    """restore_params grafts a checkpoint's policy into a run with a
+    DIFFERENT num_envs/horizon — the reference's PPO.load fine-tune pattern
+    (rl_training/trajectory_following_slow/training.py:206-211)."""
+    from pyflyt_tpu.rl import checkpoint
+
+    ppo = _make()
+    runner = ppo.init(jax.random.PRNGKey(0))
+    runner, _ = jax.jit(ppo.train_iteration)(runner)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, runner)
+
+    # new run: different env count and episode horizon, same network
+    cfg2 = dataclasses.replace(SMALL, num_envs=8, rollout_steps=4)
+    ppo2 = PPO(QuadXHoverEnv(max_duration_seconds=1.0), cfg2)
+    fresh = ppo2.init(jax.random.PRNGKey(7))
+    params = checkpoint.restore_params(path, fresh.params)
+    for a, b in zip(jax.tree.leaves(runner.params), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    warm = fresh.replace(params=params)
+    warm, metrics = jax.jit(ppo2.train_iteration)(warm)
+    assert np.isfinite(float(metrics["loss"]))
+
+    # mismatched architecture must be rejected, not silently grafted
+    cfg3 = dataclasses.replace(SMALL, feature_sizes=(16, 16))
+    ppo3 = PPO(QuadXHoverEnv(max_duration_seconds=1.0), cfg3)
+    bad = ppo3.init(jax.random.PRNGKey(3))
+    try:
+        checkpoint.restore_params(path, bad.params)
+    except ValueError as e:
+        assert "mismatch" in str(e) or "architecture" in str(e)
+    else:
+        raise AssertionError("shape mismatch not detected")
 
 
 def test_learning_improves_hover():
