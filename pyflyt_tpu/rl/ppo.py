@@ -74,7 +74,18 @@ class PPOConfig:
     # correlation at >=1024-sample minibatches; 1 recovers the exact
     # SB3-style per-sample permutation. Learning-curve equivalence vs
     # block=1 is recorded in docs/artifacts/shuffle_block_curves_tpu.jsonl.
+    # NOTE: the 16 default (round 2) means minibatch sampling is block-
+    # correlated, not the exact per-sample permutation — reproducibility-
+    # sensitive users should set shuffle_block=1 and shuffle_block_auto=False.
     shuffle_block: int = 16
+    # auto-raise the block so the whole-batch epoch gather keeps >=1KB
+    # contiguous rows (measured v5e cliff: 64-byte-row gathers run at
+    # ~8 GB/s, 8x-bigger blocks at memory bandwidth — see
+    # docs/artifacts/ppo_phase_profile_tpu.jsonl). The effective block is
+    # max(shuffle_block, batch_size // 8192) clipped to a divisor of the
+    # minibatch, so the correlated fraction per minibatch stays at
+    # num_minibatches/8192 (<1% for <=80 minibatches) at every batch size.
+    shuffle_block_auto: bool = True
 
     @property
     def batch_size(self) -> int:
@@ -139,9 +150,17 @@ class PPO:
             log_std_range=config.log_std_range,
             dtype=jnp.dtype(config.compute_dtype),
         )
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(config.max_grad_norm),
-            optax.adam(config.learning_rate, eps=1e-5),
+        # optax.flatten: run clip+Adam on ONE concatenated vector instead of
+        # ~12 per-tensor elementwise chains. Mathematically identical
+        # (both transforms are elementwise / whole-tree norms), but on TPU
+        # each tiny per-tensor op costs ~launch latency inside the 640-step
+        # sequential minibatch scan — the optimizer was a large share of the
+        # non-matmul SGD floor (docs/artifacts/ppo_phase_profile_tpu.jsonl).
+        self.optimizer = optax.flatten(
+            optax.chain(
+                optax.clip_by_global_norm(config.max_grad_norm),
+                optax.adam(config.learning_rate, eps=1e-5),
+            )
         )
 
     # ------------------------------------------------------------------ init
@@ -257,10 +276,10 @@ class PPO:
         return advantages, returns
 
     # ---------------------------------------------------------------- loss
-    def _loss(self, params, batch, advantages, returns):
-        mean, log_std, value = self.network.apply(params, batch.obs)
-        log_prob = gaussian_log_prob(mean, log_std, batch.action)
-        ratio = jnp.exp(log_prob - batch.log_prob)
+    def _loss(self, params, obs, action, old_log_prob, advantages, returns):
+        mean, log_std, value = self.network.apply(params, obs)
+        log_prob = gaussian_log_prob(mean, log_std, action)
+        ratio = jnp.exp(log_prob - old_log_prob)
 
         adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
         pg1 = ratio * adv
@@ -280,7 +299,7 @@ class PPO:
             "pg_loss": pg_loss,
             "v_loss": v_loss,
             "entropy": ent,
-            "approx_kl": jnp.mean(batch.log_prob - log_prob),
+            "approx_kl": jnp.mean(old_log_prob - log_prob),
         }
         return total, metrics
 
@@ -295,27 +314,47 @@ class PPO:
         runner, traj = self._rollout(runner)
         advantages, returns = self._gae(runner.params, traj, runner.obs)
 
-        # flatten (T, B, ...) -> (T*B, ...)
+        # flatten (T, B, ...) -> (T*B, ...) and PACK the five SGD-phase
+        # tensors into ONE (batch, F) buffer: the epoch shuffle then moves a
+        # single contiguous-row array instead of a tree whose scalar members
+        # gather 64-byte rows (measured v5e: the tree gather was 16.9 of the
+        # 24 ms epoch at a 1M-sample batch — docs/artifacts/
+        # ppo_phase_profile_tpu.jsonl).
         flat = jax.tree.map(
             lambda x: x.reshape((cfg.batch_size,) + x.shape[2:]), traj
         )
-        flat_adv = advantages.reshape(-1)
-        flat_ret = returns.reshape(-1)
+        obs_dim = flat.obs.shape[-1]
+        act_dim = flat.action.shape[-1]
+        packed = jnp.concatenate(
+            [
+                flat.obs,
+                flat.action,
+                flat.log_prob[:, None],
+                advantages.reshape(-1, 1),
+                returns.reshape(-1, 1),
+            ],
+            axis=1,
+        )
+        feat = obs_dim + act_dim + 3
 
         # effective block size: largest divisor of the minibatch size not
-        # exceeding the configured one (small educational configs degrade
-        # gracefully toward the exact per-sample permutation). gcd would
-        # under-shoot when the two share few factors (16 vs 24 -> 8, not 12)
-        # and silently lose most of the block-gather win.
+        # exceeding the target (small educational configs degrade gracefully
+        # toward the exact per-sample permutation). gcd would under-shoot
+        # when the two share few factors (16 vs 24 -> 8, not 12) and
+        # silently lose most of the block-gather win. With shuffle_block_auto
+        # the target also grows with the batch so the gather stays on the
+        # fast side of the TPU's small-block cliff (>=16K blocks of <=128
+        # bytes run at ~8 GB/s; /8 as many blocks run at memory bandwidth).
         if int(cfg.shuffle_block) < 1:
             raise ValueError(
                 f"shuffle_block must be >= 1, got {cfg.shuffle_block} "
                 "(1 = exact per-sample permutation)"
             )
+        target = int(cfg.shuffle_block)
+        if cfg.shuffle_block_auto:
+            target = max(target, cfg.batch_size // 8192)
         blk = max(
-            d
-            for d in range(1, int(cfg.shuffle_block) + 1)
-            if cfg.minibatch_size % d == 0
+            d for d in range(1, target + 1) if cfg.minibatch_size % d == 0
         )
         num_blocks = cfg.batch_size // blk
 
@@ -326,27 +365,23 @@ class PPO:
 
             # ONE whole-batch BLOCK gather per epoch, then the SGD scan walks
             # contiguous minibatch slices. blk=1 is the exact SB3-style
-            # per-sample permutation; blk=16 (default) gathers 16-row blocks
-            # to amortize the TPU's fixed per-row gather cost (see
-            # PPOConfig.shuffle_block).
-            def shuffle(x):
-                xb = x.reshape((num_blocks, blk) + x.shape[1:])
-                return xb[perm].reshape(
-                    (cfg.num_minibatches, cfg.minibatch_size) + x.shape[1:]
-                )
-
-            mbs = (
-                jax.tree.map(shuffle, flat),
-                shuffle(flat_adv),
-                shuffle(flat_ret),
+            # per-sample permutation (see PPOConfig.shuffle_block).
+            mbs = packed.reshape((num_blocks, blk, feat))[perm].reshape(
+                (cfg.num_minibatches, cfg.minibatch_size, feat)
             )
 
-            def minibatch(carry, mb_data):
+            def minibatch(carry, mb):
                 params, opt_state = carry
-                mb, mb_adv, mb_ret = mb_data
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, mb, mb_adv, mb_ret)
+                )(
+                    params,
+                    mb[:, :obs_dim],
+                    mb[:, obs_dim : obs_dim + act_dim],
+                    mb[:, obs_dim + act_dim],
+                    mb[:, obs_dim + act_dim + 1],
+                    mb[:, obs_dim + act_dim + 2],
+                )
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), metrics
