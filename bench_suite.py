@@ -405,6 +405,27 @@ def main():
         "unit": "env-steps/s",
     }), flush=True)
 
+    # the full mode-9 hovering training recipe at scale (the round-3
+    # headline learner config: packed epoch shuffle + auto blocks +
+    # flattened optimizer; see docs/artifacts/ppo_shuffle_fix_tpu.jsonl)
+    from pyflyt_tpu.envs.quadx_mod import QuadXModHoveringEnv
+
+    ppo9 = PPO(
+        QuadXModHoveringEnv(flight_mode=9, orn_conv="NED_FRD",
+                            control_hz=80, simulate_wind=True),
+        PPOConfig(num_envs=8192, rollout_steps=128, num_epochs=10,
+                  num_minibatches=64, learning_rate=1e-4, clip_eps=0.1,
+                  init_log_std=-1.6),
+    )
+    runner9 = ppo9.init(jax.random.PRNGKey(0))
+    it9 = jax.jit(ppo9.train_iteration)
+    dt9 = timeit(it9, runner9)
+    print(json.dumps({
+        "metric": "PPO train-steps/s (8192 envs, mode-9 recipe, 10x64 SGD)",
+        "value": round(ppo9.config.batch_size / dt9),
+        "unit": "env-steps/s",
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
