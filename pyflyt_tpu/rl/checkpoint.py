@@ -13,6 +13,7 @@ import os
 from typing import Any
 
 import jax
+import numpy as np
 
 
 def _checkpointer():
@@ -49,9 +50,19 @@ def restore_params(path: str, params_template: Any) -> Any:
     starts fresh.
     """
     import jax.numpy as jnp
+    import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    raw = _checkpointer().restore(path)
+    ckptr = _checkpointer()
+    # restore every leaf as a host numpy array: a checkpoint written from a
+    # TPU process carries device shardings that don't resolve when
+    # restoring without an item on another backend (CPU eval of a
+    # TPU-trained policy)
+    tree_meta = ckptr.metadata(path).item_metadata.tree
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree_meta
+    )
+    raw = ckptr.restore(path, restore_args=restore_args)
     raw_params = raw["params"]
     flat_t, treedef = jax.tree_util.tree_flatten(params_template)
     flat_r = jax.tree_util.tree_leaves(raw_params)

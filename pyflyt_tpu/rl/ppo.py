@@ -65,6 +65,17 @@ class PPOConfig:
     # policy/value matmuls at the v5e MXU's double rate; params/grads/Adam
     # stay float32 and the loss math is float32 (networks.ActorCritic.dtype)
     compute_dtype: str = "float32"
+    # run the whole SGD epoch (64 minibatches x fwd+bwd+clip+Adam) as ONE
+    # Mosaic kernel (ops/pallas_sgd.py): params and Adam moments stay
+    # VMEM-resident across the epoch, the minibatch stream double-buffers
+    # behind compute, and the optimizer runs in-register. Same math as the
+    # XLA path at bf16-matmul-truncation level (the XLA path's f32 matmuls
+    # already run as bf16 MXU passes under JAX's default TPU precision).
+    # Opt-in fast path; the exact-XLA scan stays the default.
+    fused_sgd: bool = False
+    # rows per kernel grid step (VMEM budget knob; must divide the
+    # minibatch size after clipping)
+    fused_sgd_chunk: int = 1024
     # minibatch-shuffle granularity: the per-epoch uniform permutation runs
     # over BLOCKS of this many consecutive samples instead of single rows.
     # TPU row-gathers pay a fixed per-row cost, so block-16 cuts the epoch
@@ -156,12 +167,13 @@ class PPO:
         # each tiny per-tensor op costs ~launch latency inside the 640-step
         # sequential minibatch scan — the optimizer was a large share of the
         # non-matmul SGD floor (docs/artifacts/ppo_phase_profile_tpu.jsonl).
-        self.optimizer = optax.flatten(
-            optax.chain(
-                optax.clip_by_global_norm(config.max_grad_norm),
-                optax.adam(config.learning_rate, eps=1e-5),
-            )
+        # The fused-SGD kernel manages Adam itself and needs param-shaped
+        # moments, so it keeps the unflattened state.
+        base_opt = optax.chain(
+            optax.clip_by_global_norm(config.max_grad_norm),
+            optax.adam(config.learning_rate, eps=1e-5),
         )
+        self.optimizer = base_opt if config.fused_sgd else optax.flatten(base_opt)
 
     # ------------------------------------------------------------------ init
     def init(self, key: Array) -> RunnerState:
@@ -358,6 +370,27 @@ class PPO:
         )
         num_blocks = cfg.batch_size // blk
 
+        fused_run = None
+        if cfg.fused_sgd:
+            from pyflyt_tpu.ops import pallas_sgd
+
+            fused_run = pallas_sgd.build_fused_epoch(
+                obs_dim=obs_dim,
+                act_dim=act_dim,
+                pi_sizes=tuple(cfg.feature_sizes) + tuple(cfg.pi_sizes),
+                vf_sizes=tuple(cfg.feature_sizes) + tuple(cfg.vf_sizes),
+                log_std_range=cfg.log_std_range,
+                num_minibatches=cfg.num_minibatches,
+                minibatch_size=cfg.minibatch_size,
+                feat=feat,
+                learning_rate=cfg.learning_rate,
+                clip_eps=cfg.clip_eps,
+                entropy_coef=cfg.entropy_coef,
+                value_coef=cfg.value_coef,
+                max_grad_norm=cfg.max_grad_norm,
+                chunk=cfg.fused_sgd_chunk,
+            )
+
         def epoch(carry, _):
             params, opt_state, key = carry
             key, perm_key = jax.random.split(key)
@@ -369,6 +402,34 @@ class PPO:
             mbs = packed.reshape((num_blocks, blk, feat))[perm].reshape(
                 (cfg.num_minibatches, cfg.minibatch_size, feat)
             )
+
+            if fused_run is not None:
+                adv_col = mbs[:, :, obs_dim + act_dim + 1]
+                adv_stats = jnp.stack(
+                    [adv_col.mean(axis=1), adv_col.std(axis=1)], axis=1
+                )
+                # chain(clip, adam) state: (EmptyState, (ScaleByAdamState,
+                # EmptyState)) — adam = chain(scale_by_adam, scale(-lr))
+                adam_state = opt_state[1][0]
+                leaves = pallas_sgd.params_to_leaves(params)
+                mu = pallas_sgd.params_to_leaves(adam_state.mu)
+                nu = pallas_sgd.params_to_leaves(adam_state.nu)
+                t0 = adam_state.count.reshape((1,)).astype(jnp.int32)
+                new_leaves, new_mu, new_nu, m = fused_run(
+                    mbs, adv_stats, t0, leaves, mu, nu
+                )
+                params = pallas_sgd.leaves_to_params(new_leaves, params)
+                new_adam = adam_state._replace(
+                    count=adam_state.count + cfg.num_minibatches,
+                    mu=pallas_sgd.leaves_to_params(new_mu, adam_state.mu),
+                    nu=pallas_sgd.leaves_to_params(new_nu, adam_state.nu),
+                )
+                opt_state = (opt_state[0], (new_adam, opt_state[1][1]))
+                metrics = {
+                    name: m[:, i]
+                    for i, name in enumerate(pallas_sgd.METRICS)
+                }
+                return (params, opt_state, key), metrics
 
             def minibatch(carry, mb):
                 params, opt_state = carry

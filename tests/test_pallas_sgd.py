@@ -1,0 +1,158 @@
+"""Parity tests for the fused SGD epoch kernel (ops/pallas_sgd.py).
+
+Interpret mode on CPU (conftest forces the cpu platform; build_fused_epoch
+auto-selects interpret there). Real Mosaic lowering is gated on hardware by
+bench_suite.py / the dedicated TPU validation artifacts.
+
+The reference for parity is the exact XLA path (PPOConfig(fused_sgd=False))
+run on IDENTICAL shuffled minibatches. The only arithmetic difference is
+matmul precision: the kernel truncates matmul inputs to bf16 (the same
+thing XLA's default TPU precision does, but XLA:CPU computes full f32), so
+tolerances are bf16-truncation-scale.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyflyt_tpu.envs.quadx_hover import QuadXHoverEnv
+from pyflyt_tpu.rl.ppo import PPO, PPOConfig
+
+CFG = PPOConfig(
+    num_envs=32,
+    rollout_steps=16,
+    num_epochs=2,
+    num_minibatches=4,
+    feature_sizes=(32, 32),
+    learning_rate=1e-3,
+    init_log_std=-0.5,
+)
+
+
+def _run_iteration(cfg, n_iters=1):
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    it = jax.jit(ppo.train_iteration)
+    ms = []
+    for _ in range(n_iters):
+        runner, metrics = it(runner)
+        ms.append(metrics)
+    return runner, ms
+
+
+def test_fused_epoch_matches_xla_path():
+    """Params, Adam moments, and metrics after full train iterations match
+    the XLA scan path on the same rollouts (same PRNG -> same shuffles)."""
+    cfg_x = dataclasses.replace(CFG, fused_sgd=False, shuffle_block_auto=False)
+    cfg_f = dataclasses.replace(CFG, fused_sgd=True, shuffle_block_auto=False)
+
+    r_x, m_x = _run_iteration(cfg_x, n_iters=2)
+    r_f, m_f = _run_iteration(cfg_f, n_iters=2)
+
+    # metrics of both iterations agree
+    for a, b in zip(m_x, m_f):
+        for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=2e-2, atol=2e-4,
+                err_msg=k,
+            )
+
+    # parameters agree leaf-by-leaf after 2 iterations x 2 epochs x 4 steps
+    lx = jax.tree.leaves(r_x.params)
+    lf = jax.tree.leaves(r_f.params)
+    assert len(lx) == len(lf)
+    for a, b in zip(lx, lf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4
+        )
+
+
+def test_fused_epoch_exact_with_f32_matmuls(monkeypatch):
+    """With the kernel's matmuls forced to f32 the two paths agree tightly —
+    isolates every non-matmul piece of the hand-written backward/Adam."""
+    from pyflyt_tpu.ops import pallas_sgd
+
+    def mm32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm32_tn(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm32_nt(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    monkeypatch.setattr(pallas_sgd, "_mm", mm32)
+    monkeypatch.setattr(pallas_sgd, "_mm_tn", mm32_tn)
+    monkeypatch.setattr(pallas_sgd, "_mm_nt", mm32_nt)
+
+    cfg_x = dataclasses.replace(CFG, fused_sgd=False, shuffle_block_auto=False)
+    cfg_f = dataclasses.replace(CFG, fused_sgd=True, shuffle_block_auto=False)
+    r_x, m_x = _run_iteration(cfg_x)
+    r_f, m_f = _run_iteration(cfg_f)
+    for k in ("loss", "pg_loss", "v_loss", "entropy", "approx_kl"):
+        np.testing.assert_allclose(
+            np.asarray(m_x[0][k]), np.asarray(m_f[0][k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )
+    for a, b in zip(jax.tree.leaves(r_x.params), jax.tree.leaves(r_f.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        )
+
+
+def test_fused_epoch_log_std_clamp_and_heads():
+    """The kernel envelope: extra pi/vf head layers + log_std clamp (the
+    trajectory-recipe architecture, networks.py pi/vf=[64,64,32,32])."""
+    cfg = dataclasses.replace(
+        CFG,
+        feature_sizes=(32,),
+        pi_sizes=(16, 8),
+        vf_sizes=(16, 8),
+        log_std_range=(-2.0, -1.0),
+        init_log_std=-1.5,
+        fused_sgd=True,
+    )
+    cfg_x = dataclasses.replace(cfg, fused_sgd=False)
+    r_f, m_f = _run_iteration(cfg)
+    r_x, m_x = _run_iteration(cfg_x)
+    for k in ("loss", "entropy"):
+        np.testing.assert_allclose(
+            np.asarray(m_x[0][k]), np.asarray(m_f[0][k]),
+            rtol=2e-2, atol=2e-4, err_msg=k,
+        )
+    for a, b in zip(jax.tree.leaves(r_x.params), jax.tree.leaves(r_f.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4
+        )
+
+
+def test_fused_epoch_learning_sanity():
+    """The fused path actually learns (loss finite, params move, reward
+    improves over a short run like the XLA-path sanity check)."""
+    cfg = dataclasses.replace(
+        CFG, fused_sgd=True, num_envs=64, rollout_steps=32,
+        num_epochs=4, num_minibatches=8, entropy_coef=0.0,
+    )
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0, noisy_motors=False), cfg)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    it = jax.jit(ppo.train_iteration)
+    before = jax.tree.leaves(runner.params)[0].copy()
+    rewards = []
+    for _ in range(8):
+        runner, metrics = it(runner)
+        rewards.append(float(metrics["mean_reward"]))
+        assert np.isfinite(float(metrics["loss"]))
+    after = jax.tree.leaves(runner.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
