@@ -249,6 +249,7 @@ def build_fused_epoch(
                 out_leaves[i][...] = in_leaves[i][...]
                 out_mu[i][...] = in_mu[i][...]
                 out_nu[i][...] = in_nu[i][...]
+            metrics_ref[...] = jnp.zeros(metrics_ref.shape, jnp.float32)
 
         # ---- chunk 0: zero this minibatch's accumulators
         @pl.when(ck == 0)
@@ -401,7 +402,9 @@ def build_fused_epoch(
             row = row.at[0, 2].set(v_loss)
             row = row.at[0, 3].set(ent_m)
             row = row.at[0, 4].set(kl)
-            metrics_ref[...] = row
+            # whole (num_minibatches, 128) metrics array stays resident
+            # (Mosaic needs sublane-divisible or full blocks); write row mb
+            metrics_ref[pl.ds(mb, 1), :] = row
 
     const2 = lambda *_: (0, 0)  # noqa: E731
 
@@ -418,7 +421,7 @@ def build_fused_epoch(
             *[pl.BlockSpec(s, const2) for s in leaf_shapes],
             *[pl.BlockSpec(s, const2) for s in leaf_shapes],
             *[pl.BlockSpec(s, const2) for s in leaf_shapes],
-            pl.BlockSpec((1, 128), lambda mb, ck, *s: (mb, 0)),
+            pl.BlockSpec((num_minibatches, 128), const2),
         ],
         scratch_shapes=[
             *[pltpu.VMEM(s, jnp.float32) for s in leaf_shapes],  # grad acc
