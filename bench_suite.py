@@ -426,6 +426,50 @@ def main():
         "unit": "env-steps/s",
     }), flush=True)
 
+    # fused-SGD epoch kernel (ops/pallas_sgd.py): Mosaic parity gate (same
+    # rollouts -> same shuffles; params must track the XLA path within
+    # bf16-accumulation drift over 2 iterations) + the same recipe benched
+    # with fused epochs
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    cfgp = PPOConfig(num_envs=256, rollout_steps=32, num_epochs=2,
+                     num_minibatches=8, learning_rate=1e-4, clip_eps=0.1,
+                     init_log_std=-1.6)
+    envp = QuadXModHoveringEnv(flight_mode=9, orn_conv="NED_FRD",
+                               control_hz=80, simulate_wind=True)
+    leaves = {}
+    for fused in (False, True):
+        pp = PPO(envp, _dc.replace(cfgp, fused_sgd=fused))
+        rr = pp.init(jax.random.PRNGKey(0))
+        itp = jax.jit(pp.train_iteration)
+        rr, mm = itp(rr)
+        rr, mm = itp(rr)
+        jax.block_until_ready(rr.params)
+        leaves[fused] = jax.tree.leaves(rr.params)
+    max_abs = max(
+        float(_np.max(_np.abs(_np.asarray(a) - _np.asarray(b))))
+        for a, b in zip(leaves[False], leaves[True])
+    )
+    assert max_abs < 2e-3, f"fused-SGD param drift {max_abs}"
+    print(json.dumps({"metric": "fused-SGD mosaic-parity", "value": 1,
+                      "unit": "ok", "max_abs_param_diff": max_abs}),
+          flush=True)
+
+    ppo9f = PPO(envp, _dc.replace(
+        PPOConfig(num_envs=8192, rollout_steps=128, num_epochs=10,
+                  num_minibatches=64, learning_rate=1e-4, clip_eps=0.1,
+                  init_log_std=-1.6), fused_sgd=True))
+    runner9f = ppo9f.init(jax.random.PRNGKey(0))
+    it9f = jax.jit(ppo9f.train_iteration)
+    dt9f = timeit(it9f, runner9f)
+    print(json.dumps({
+        "metric": "PPO train-steps/s (8192 envs, mode-9 recipe, fused SGD)",
+        "value": round(ppo9f.config.batch_size / dt9f),
+        "unit": "env-steps/s",
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
