@@ -63,8 +63,14 @@ def _make_ppo(args, env):
             init_log_std=getattr(args, "init_log_std", 0.0),
             log_std_range=log_std_range,
             cached_reset_refresh=getattr(args, "cached_reset_refresh", 0),
-            feature_sizes=(256, 256),
-            # SB3 net_arch pi/vf=[64,64,32,32] heads
+            # the reference's MlpPolicy: net_arch pi/vf=[64,64,32,32]
+            # DIRECTLY on the observation — its CustomFeatureExtractor is
+            # commented out (trajectory_following_fast/training.py:113-120,
+            # trajectory_following_slow/training.py:136-145), so there is
+            # NO wide trunk. (Round-3 note: the round-2 CLI added a 256x256
+            # trunk here; that 7-tanh-deep stack trains far slower on the
+            # slow variant.)
+            feature_sizes=tuple(getattr(args, "feature_sizes", ()) or ()),
             pi_sizes=(64, 64, 32, 32),
             vf_sizes=(64, 64, 32, 32),
         ),
@@ -283,6 +289,9 @@ def main(argv=None):
     # warm start from a saved checkpoint (the reference's PPO.load curriculum,
     # trajectory_following_slow/training.py:206-211)
     t.add_argument("--init_from", type=str, default=None)
+    # optional extra trunk widths before the reference heads (empty = the
+    # reference-exact MlpPolicy)
+    t.add_argument("--feature_sizes", type=int, nargs="*", default=[])
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
     t.add_argument("--log_dir", type=str, default=None)
@@ -292,6 +301,7 @@ def main(argv=None):
     e = sub.add_parser("eval")
     add_common(e)
     e.add_argument("--checkpoint", type=str, required=True)
+    e.add_argument("--feature_sizes", type=int, nargs="*", default=[])
     e.add_argument("--episodes", type=int, default=16)
     e.add_argument("--log_dir", type=str, default=None)
     e.set_defaults(fn=cmd_eval)
