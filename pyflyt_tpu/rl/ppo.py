@@ -71,7 +71,10 @@ class PPOConfig:
     # behind compute, and the optimizer runs in-register. Same math as the
     # XLA path at bf16-matmul-truncation level (the XLA path's f32 matmuls
     # already run as bf16 MXU passes under JAX's default TPU precision).
-    # Opt-in fast path; the exact-XLA scan stays the default.
+    # Opt-in fast path; the exact-XLA scan stays the default. Single-chip
+    # only for now: the kernel consumes the whole shuffled batch locally —
+    # under an ('env',) mesh keep the default XLA epoch (its collectives
+    # are mesh-aware).
     fused_sgd: bool = False
     # rows per kernel grid step (VMEM budget knob; must divide the
     # minibatch size after clipping)
