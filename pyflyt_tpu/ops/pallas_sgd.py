@@ -307,12 +307,23 @@ def build_fused_epoch(
         pg_min = jnp.minimum(pg1, pg2)
         verr = value - ret
 
-        # metric partial sums -> lanes 0..2 of the scratch row
-        part = jnp.zeros((1, 128), jnp.float32)
-        part = part.at[0, 0].set(jnp.sum(pg_min))
-        part = part.at[0, 1].set(jnp.sum(verr * verr))
-        part = part.at[0, 2].set(jnp.sum(old_logp - logp))
-        macc_ref[...] = macc_ref[...] + part
+        # metric partial sums -> lanes 0..2 of the scratch row (built with
+        # iota-selects: scatter does not lower on Mosaic)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def _lanes(pairs):
+            acc = jnp.zeros((1, 128), jnp.float32)
+            for k, val in pairs:
+                acc = acc + jnp.where(lane == k, val, 0.0)
+            return acc
+
+        macc_ref[...] = macc_ref[...] + _lanes(
+            [
+                (0, jnp.sum(pg_min)),
+                (1, jnp.sum(verr * verr)),
+                (2, jnp.sum(old_logp - logp)),
+            ]
+        )
 
         # ---- backward
         # d total / d pg_min_i = -1/mb. Inside the clip band pg1 == pg2 and
@@ -376,9 +387,10 @@ def build_fused_epoch(
             scale = jnp.where(
                 gnorm < max_grad_norm, 1.0, max_grad_norm / gnorm
             )
+            # b**t as exp(t*ln b): math.powf does not legalize on Mosaic
             t = (t0_ref[0] + mb + 1).astype(jnp.float32)
-            c1 = 1.0 - _B1**t
-            c2 = 1.0 - _B2**t
+            c1 = 1.0 - jnp.exp(t * float(np.log(_B1)))
+            c2 = 1.0 - jnp.exp(t * float(np.log(_B2)))
             for i in range(n_leaves):
                 gi = grads[i] * scale
                 m_new = _B1 * out_mu[i][...] + (1.0 - _B1) * gi
@@ -396,12 +408,9 @@ def build_fused_epoch(
             # path -> the forward's clipped log_std captured above
             ent_m = jnp.sum(log_std + _ENT_C)
             total = pg_loss + value_coef * v_loss - entropy_coef * ent_m
-            row = jnp.zeros((1, 128), jnp.float32)
-            row = row.at[0, 0].set(total)
-            row = row.at[0, 1].set(pg_loss)
-            row = row.at[0, 2].set(v_loss)
-            row = row.at[0, 3].set(ent_m)
-            row = row.at[0, 4].set(kl)
+            row = _lanes(
+                [(0, total), (1, pg_loss), (2, v_loss), (3, ent_m), (4, kl)]
+            )
             # whole (num_minibatches, 128) metrics array stays resident
             # (Mosaic needs sublane-divisible or full blocks); write row mb
             metrics_ref[pl.ds(mb, 1), :] = row
@@ -436,11 +445,20 @@ def build_fused_epoch(
         jax.ShapeDtypeStruct((num_minibatches, 128), jnp.float32),
     )
 
+    kwargs = {}
+    if not interpret:
+        # the resident params/moments + per-chunk activations exceed the
+        # default 16MB scoped-vmem budget at chunk>=512; v5e has 128MB
+        # physical VMEM, so raise the cap instead of shrinking the chunk
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     call = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
+        **kwargs,
     )
 
     def run(mbs, adv_stats, t0, leaves, mu, nu):
