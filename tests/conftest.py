@@ -25,6 +25,23 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop JAX's compiled-program caches at each module boundary.
+
+    The suite compiles ~250 XLA:CPU programs, several of them huge
+    (interpret-mode fused kernels, env resets with stabilization scans).
+    With everything cached in one process, XLA:CPU's compiler segfaults
+    deterministically around the ~228th program (observed 3x at
+    test_rocket.py::test_env_reset_obs once the round-3 tests pushed the
+    count past it; each file passes in isolation). Modules share almost no
+    jitted functions, so per-module cache clearing costs little and keeps
+    the compiler's accumulated state bounded.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def interpret_pallas(monkeypatch):
     """Force pallas_call into interpret mode (CPU): the kernel parity test
