@@ -212,6 +212,14 @@ _COLL = 53   # collision info flag
 _OOB = 54    # out-of-bounds info flag
 _STEP = 55   # agent step count (exact as f32 below 2^24)
 
+# generic (non-env-fused) variant: row 50 is any_contact; 51-55 are spare.
+# wind["per_env_base"] repurposes 51-53 for a PER-LANE wind base vector
+# (core/wind.py::GaussianWind with a random base per env — the quadx_mod
+# envs' reset draws one per environment, so a baked scalar base can't
+# represent it). Written through by the kernel so the carrier env only
+# sets them once. Incompatible with env_fuse (those rows are taken).
+_WBASE = 51  # 3: per-env wind base, world frame of cfg.orn_conv
+
 
 def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                   noisy: bool, env_fuse: dict | None = None,
@@ -238,6 +246,14 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
     and exactly matches the XLA path.
     """
     ned = cfg.orn_conv == "NED_FRD"
+    per_env_wind = bool(wind is not None and wind.get("per_env_base"))
+    assert not (per_env_wind and env_fuse is not None), (
+        "per_env_base wind uses rows 51-53, which the env-fused variants "
+        "occupy — fuse either the env or the per-env wind, not both"
+    )
+    assert not (per_env_wind and wind["kind"] != "gaussian"), (
+        "per_env_base is a GaussianWind feature (random base per env)"
+    )
     assert mode in (0, 7, 8, 9), "pallas fast path supports modes 0/7/8/9"
     assert not (ned and mode == 7), (
         "mode 7 in the kernel carries the ENU cascade (NED position modes "
@@ -313,6 +329,9 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
         pprv = [S[_PPRV + i] for i in range(3)]
         contact = S[_CON]
         any_contact = jnp.zeros_like(contact)
+        wbase = (
+            [S[_WBASE + i] for i in range(3)] if per_env_wind else None
+        )
 
         if mode == 7:
             ext = {
@@ -565,7 +584,11 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                 # air velocity = world lin_vel - wind, rotated body-frame
                 # (models/quadx.py update_state air_vel)
                 if wind["kind"] == "gaussian":
-                    wb = [float(v) for v in wind["base"]]
+                    wb = (
+                        wbase
+                        if per_env_wind
+                        else [float(v) for v in wind["base"]]
+                    )
                     mg = float(wind.get("max_gust", 0.0))
                     if mg > 0.0:
                         wv = [
@@ -767,6 +790,9 @@ def _build_kernel(params: quadx.QuadXParams, cfg: quadx.QuadXConfig, mode: int,
                 out[WB + 27] = cplt
         else:
             out[_CON + 1] = any_contact
+            if per_env_wind:
+                for i in range(3):
+                    out[_WBASE + i] = wbase[i]
         if mode == 7:
             flat = ext_flat()
             base_rows = [

@@ -279,3 +279,53 @@ def test_kernel_gaussian_wind_deterministic_matches_xla():
             jnp.max(jnp.abs(ref.body.pos - nowind.body.pos))
         ) > 1e-3
     )
+
+
+def test_kernel_per_env_wind_base_matches_xla():
+    """wind["per_env_base"]: rows 51-53 carry a PER-LANE base wind vector
+    (the quadx_mod envs draw a random GaussianWind base per env at reset,
+    which a baked scalar can't represent). max_gust=0 is deterministic, so
+    the kernel must exactly track the XLA path fed the same per-env wind;
+    the rows must also write through so a packed carrier keeps them."""
+    cfg = quadx.QuadXConfig(noisy_motors=False)
+    params = quadx.build_params(cfg)
+    n = 128
+    st = _random_state(cfg, params, n=n, seed=11)
+    st = st.replace(
+        setpoint=jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.42]), (n, 1))
+    )
+    bases = jax.random.uniform(
+        jax.random.PRNGKey(3), (n, 3), jnp.float32, -4.0, 4.0
+    )
+    wind_fn = lambda step, p: bases.astype(p.dtype)
+
+    packed = pallas_quadx.pack_state(st, 0)
+    fold = lambda x: x.T.reshape(3, 8, n // 8)
+    packed = packed.at[
+        pallas_quadx._WBASE : pallas_quadx._WBASE + 3
+    ].set(fold(bases))
+
+    wind = {"kind": "gaussian", "per_env_base": True, "max_gust": 0.0}
+    ref = st
+    seed = jnp.zeros((), jnp.int32)
+    for _ in range(8):
+        ref, _ = quadx.step(ref, params, cfg, 0, wind_fn=wind_fn)
+        packed = pallas_quadx.packed_step(
+            packed, seed, params, cfg, mode=0, noisy=False, wind=wind
+        )
+    out = pallas_quadx.unpack_state(packed, st)
+    np.testing.assert_allclose(
+        np.asarray(out.body.pos), np.asarray(ref.body.pos), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.read.drag_local_vel),
+        np.asarray(ref.read.drag_local_vel), atol=5e-4,
+    )
+    # rows wrote through unchanged
+    got = np.asarray(
+        packed[pallas_quadx._WBASE : pallas_quadx._WBASE + 3]
+    ).reshape(3, n)
+    np.testing.assert_allclose(got.T, np.asarray(bases), atol=0)
+    # distinct per-env winds produce distinct drift (not a broadcast base)
+    drift = np.asarray(out.body.pos - st.body.pos)
+    assert np.std(drift[:, 0]) > 1e-4
