@@ -224,11 +224,15 @@ def grid_call(kernel, packed, seed, tile: int):
         ],
         out_specs=pl.BlockSpec((rows, sublanes, tile), lambda i, s: (0, 0, i)),
     )
+    # interpret mode when forced (tests, dryrun) or whenever the backend is
+    # CPU — Mosaic only lowers on TPU, and auto-detecting makes standalone
+    # CPU scripts (eval of a packed env, examples) just work
+    interpret = _FORCE_INTERPRET or jax.default_backend() == "cpu"
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(packed.shape, packed.dtype),
         grid_spec=grid_spec,
-        interpret=_FORCE_INTERPRET,
+        interpret=interpret,
     )(jnp.atleast_1d(seed).astype(jnp.int32), packed)
 
 

@@ -182,7 +182,16 @@ class PPO:
     def init(self, key: Array) -> RunnerState:
         key, net_key, env_key = jax.random.split(key, 3)
         env_keys = jax.random.split(env_key, self.config.num_envs)
-        if self.config.cached_reset_refresh > 0:
+        if getattr(self.env, "native_batch", False):
+            # natively-batched env (e.g. the packed fast paths): reset/step
+            # take the whole batch, auto-reset is env-provided. Single-chip
+            # (the folded layout doesn't shard on axis 0 — use the XLA env
+            # under a mesh).
+            assert self.config.cached_reset_refresh == 0, (
+                "native-batch envs bring their own auto-reset"
+            )
+            env_state, obs = self.env.reset(env_keys)
+        elif self.config.cached_reset_refresh > 0:
             from pyflyt_tpu.envs.base import autoreset_init
 
             env_state, obs = autoreset_init(self.env, env_keys)
@@ -216,6 +225,8 @@ class PPO:
 
     # ------------------------------------------------------------- rollout
     def _env_step(self, env_state, action):
+        if getattr(self.env, "native_batch", False):
+            return self.env.autoreset_step(env_state, action)
         if self.config.cached_reset_refresh > 0:
             from pyflyt_tpu.envs.base import cached_autoreset_step
 
@@ -513,13 +524,19 @@ class PPO:
         rl_training/custom_eval_callback.py:46-108): mean/std episode reward
         and length over ``num_episodes`` fresh episodes."""
         keys = jax.random.split(key, num_episodes)
-        env_state, obs = jax.vmap(self.env.reset)(keys)
+        if getattr(self.env, "native_batch", False):
+            env_state, obs = self.env.reset(keys)
+        else:
+            env_state, obs = jax.vmap(self.env.reset)(keys)
         obs = _flat_obs(obs)
 
         def body(carry, _):
             env_state, obs, done, ep_rew, ep_len = carry
             action = self.act_deterministic(params, obs)
-            env_state, out = jax.vmap(self.env.step)(env_state, action)
+            if getattr(self.env, "native_batch", False):
+                env_state, out = self.env.step(env_state, action)
+            else:
+                env_state, out = jax.vmap(self.env.step)(env_state, action)
             step_done = out.termination | out.truncation
             ep_rew = ep_rew + out.reward * (1.0 - done)
             ep_len = ep_len + (1.0 - done)
