@@ -151,7 +151,7 @@ def check_fused_parity():
         gate("MA-Dogfight", jax.jit(jax.vmap(dg.step)), ref_st,
              jax.jit(pdg_env.step), pk_st, act, atol=2e-3)
 
-        # last: the newest gate (heaviest compile — mode-7 cascade +
+        # last: the newest gates (heaviest compile — mode-7 cascade +
         # waypoint rows), so the proven gates report first
         qw = QuadXWaypointsEnv(noisy_motors=False, flight_mode=7)
         pqw = PackedQuadXWaypointsEnv(base=qw)
@@ -160,6 +160,26 @@ def check_fused_parity():
         act = jnp.tile(jnp.asarray([0.5, 0.5, 0.0, 1.0]), (n, 1))
         gate("QuadX-Waypoints", jax.jit(jax.vmap(qw.step)), ref_st,
              jax.jit(pqw.step), pk_st, act, atol=1e-3)
+
+        # packed mod-hovering (the PPO native-batch rollout env): mode 9 +
+        # NED + per-env wind base (gusts off for determinism). Obs is
+        # state16 rounded to 3 decimals (hovering.py _round3) so diffs land
+        # on the 1e-3 quantum — atol accommodates one quantum per step.
+        from pyflyt_tpu.envs.quadx_mod import QuadXModHoveringEnv
+        from pyflyt_tpu.envs.quadx_mod.packed_hovering import (
+            PackedQuadXModHoveringEnv,
+        )
+
+        mh = QuadXModHoveringEnv(
+            flight_mode=9, orn_conv="NED_FRD", control_hz=80,
+            noisy_motors=False, simulate_wind=True, max_gust_strength=0.0,
+        )
+        pmh = PackedQuadXModHoveringEnv(base=mh)
+        ref_st, _ = vec_reset(mh, keys)
+        pk_st, _ = jax.jit(pmh.reset)(keys)
+        act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.0]), (n, 1))
+        gate("Packed-Mod-Hovering", jax.jit(jax.vmap(mh.step)), ref_st,
+             jax.jit(pmh.step), pk_st, act, atol=2e-3)
 
 
 def check_kernel_envelope():
@@ -456,6 +476,31 @@ def main():
     print(json.dumps({"metric": "fused-SGD mosaic-parity", "value": 1,
                       "unit": "ok", "max_abs_param_diff": max_abs}),
           flush=True)
+
+    # the same recipe with the packed native-batch rollout (the mod-hovering
+    # physics in the folded kernel layout; rl/ppo.py native_batch) — the
+    # round-3 headline learner path: 8.09M env-steps/s on v5e
+    # (docs/artifacts/ppo_shuffle_fix_tpu.jsonl)
+    from pyflyt_tpu.envs.quadx_mod.packed_hovering import (
+        PackedQuadXModHoveringEnv,
+    )
+
+    ppo9p = PPO(
+        PackedQuadXModHoveringEnv.create(
+            flight_mode=9, orn_conv="NED_FRD", control_hz=80,
+            simulate_wind=True),
+        PPOConfig(num_envs=8192, rollout_steps=128, num_epochs=10,
+                  num_minibatches=64, learning_rate=1e-4, clip_eps=0.1,
+                  init_log_std=-1.6),
+    )
+    runner9p = ppo9p.init(jax.random.PRNGKey(0))
+    it9p = jax.jit(ppo9p.train_iteration)
+    dt9p = timeit(it9p, runner9p)
+    print(json.dumps({
+        "metric": "PPO train-steps/s (8192 envs, mode-9 recipe, packed rollout)",
+        "value": round(ppo9p.config.batch_size / dt9p),
+        "unit": "env-steps/s",
+    }), flush=True)
 
     ppo9f = PPO(envp, _dc.replace(
         PPOConfig(num_envs=8192, rollout_steps=128, num_epochs=10,
