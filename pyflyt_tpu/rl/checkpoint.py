@@ -83,6 +83,25 @@ def restore_params(path: str, params_template: Any) -> Any:
     )
 
 
+def average_params(paths: list[str], params_template: Any) -> Any:
+    """Uniform parameter average over several saved checkpoints.
+
+    Classic checkpoint averaging: restore the ``params`` subtree of each
+    checkpoint (same architecture required) and return the element-wise
+    mean. Used to stabilize the trajectory_following_slow deterministic
+    eval, whose per-checkpoint scores are high-variance late in training
+    (docs/artifacts/traj_slow_curriculum_tpu.jsonl); pass several
+    ``best_model_*`` checkpoints to the eval CLI to combine them.
+    """
+    import jax.numpy as jnp
+
+    assert paths, "average_params needs at least one checkpoint path"
+    trees = [restore_params(p, params_template) for p in paths]
+    return jax.tree.map(
+        lambda *leaves: jnp.mean(jnp.stack(leaves), axis=0), *trees
+    )
+
+
 def best_model_name(idx: int, mean_len: float, std_len: float,
                     mean_rew: float, std_rew: float) -> str:
     """The reference's best-model naming convention

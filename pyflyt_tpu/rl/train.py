@@ -16,6 +16,7 @@ import time
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pyflyt_tpu.rl import checkpoint
@@ -38,6 +39,16 @@ class TrainConfig:
     # trajectory_following_fast/training.py:202-207) — its slow variant was
     # never trained from scratch, only from an 801-step-episode checkpoint.
     init_from: str | None = None
+    # Polyak-averaged parameter shadow (0.0 = off). With decay d, after each
+    # update ema = d*ema + (1-d)*params; at eval time BOTH parameter sets are
+    # evaluated (`eval_*` vs `eval_ema_*` metric keys) and each keeps its own
+    # best-model checkpoint (`best_model_*` / `best_model_ema_*`). Smooths the
+    # late-training eval instability seen on trajectory_following_slow
+    # (docs/artifacts/traj_slow_curriculum_tpu.jsonl).
+    param_ema: float = 0.0
+    # Stop when the best eval reward (over raw and EMA params) has not
+    # improved for this many consecutive evals (0 = never stop early).
+    early_stop_patience: int = 0
 
 
 def train(
@@ -65,6 +76,20 @@ def train(
     train_it = jax.jit(ppo.train_iteration, donate_argnums=(0,))
     eval_fn = jax.jit(ppo.evaluate, static_argnums=2)
 
+    ema_params = None
+    if tcfg.param_ema:
+        assert 0.0 < tcfg.param_ema < 1.0, "param_ema must be in (0, 1)"
+        # deep copy: train_it donates the runner, so aliasing its params
+        # would leave the shadow pointing at deleted buffers
+        ema_params = jax.tree.map(jnp.copy, runner.params)
+
+        @jax.jit
+        def ema_step(ema, params):
+            return jax.tree.map(
+                lambda e, p: tcfg.param_ema * e + (1.0 - tcfg.param_ema) * p,
+                ema, params,
+            )
+
     steps_per_update = ppo.config.batch_size
     num_updates = max(1, tcfg.total_timesteps // steps_per_update)
 
@@ -74,17 +99,25 @@ def train(
         log_f = open(os.path.join(tcfg.log_dir, "metrics.jsonl"), "a")
 
     best_reward = -np.inf
+    best_ema_reward = -np.inf
+    evals_since_improvement = 0
     eval_history: list[dict] = []
     t_start = time.perf_counter()
     try:
         for update in range(num_updates):
             runner, metrics = train_it(runner)
+            if ema_params is not None:
+                ema_params = ema_step(ema_params, runner.params)
 
             if (update + 1) % tcfg.eval_every_updates == 0 or update == num_updates - 1:
                 jax.block_until_ready(runner.params)
                 eval_key = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), update)
                 stats = eval_fn(runner.params, eval_key, tcfg.eval_episodes)
                 stats = {k: float(v) for k, v in stats.items()}
+                ema_stats = None
+                if ema_params is not None:
+                    ema_stats = eval_fn(ema_params, eval_key, tcfg.eval_episodes)
+                    ema_stats = {k: float(v) for k, v in ema_stats.items()}
                 elapsed = time.perf_counter() - t_start
                 row = {
                     "update": update + 1,
@@ -92,6 +125,11 @@ def train(
                     "steps_per_s": (update + 1) * steps_per_update / elapsed,
                     **{k: float(v) for k, v in metrics.items()},
                     **{f"eval_{k}": v for k, v in stats.items()},
+                    **(
+                        {f"eval_ema_{k}": v for k, v in ema_stats.items()}
+                        if ema_stats is not None
+                        else {}
+                    ),
                 }
                 eval_history.append(row)
                 if on_metrics is not None:
@@ -100,17 +138,43 @@ def train(
                     log_f.write(json.dumps(row) + "\n")
                     log_f.flush()
 
+                improved = False
                 # best-model checkpoint (custom_eval_callback.py:88-105)
-                if tcfg.log_dir and stats["mean_reward"] > best_reward:
+                if stats["mean_reward"] > best_reward:
                     best_reward = stats["mean_reward"]
-                    name = checkpoint.best_model_name(
-                        update + 1,
-                        stats["mean_length"],
-                        stats["std_length"],
-                        stats["mean_reward"],
-                        stats["std_reward"],
-                    )
-                    checkpoint.save(os.path.join(tcfg.log_dir, name), runner)
+                    improved = True
+                    if tcfg.log_dir:
+                        name = checkpoint.best_model_name(
+                            update + 1,
+                            stats["mean_length"],
+                            stats["std_length"],
+                            stats["mean_reward"],
+                            stats["std_reward"],
+                        )
+                        checkpoint.save(os.path.join(tcfg.log_dir, name), runner)
+                if ema_stats is not None and ema_stats["mean_reward"] > best_ema_reward:
+                    best_ema_reward = ema_stats["mean_reward"]
+                    improved = True
+                    if tcfg.log_dir:
+                        name = "best_model_ema" + checkpoint.best_model_name(
+                            update + 1,
+                            ema_stats["mean_length"],
+                            ema_stats["std_length"],
+                            ema_stats["mean_reward"],
+                            ema_stats["std_reward"],
+                        ).removeprefix("best_model")
+                        checkpoint.save(
+                            os.path.join(tcfg.log_dir, name),
+                            runner.replace(params=ema_params),
+                        )
+                evals_since_improvement = (
+                    0 if improved else evals_since_improvement + 1
+                )
+                if (
+                    tcfg.early_stop_patience
+                    and evals_since_improvement >= tcfg.early_stop_patience
+                ):
+                    break
 
             if (
                 tcfg.checkpoint_every_updates

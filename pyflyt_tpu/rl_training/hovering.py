@@ -116,6 +116,8 @@ def cmd_train(args):
             use_mesh=args.use_mesh,
             seed=args.seed,
             init_from=args.init_from,
+            param_ema=args.param_ema,
+            early_stop_patience=args.early_stop_patience,
         ),
         on_metrics=lambda u, row: print(json.dumps(row)),
     )
@@ -217,6 +219,11 @@ def main(argv=None):
     t.add_argument("--init_from", type=str, default=None)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
+    # Polyak-averaged parameter shadow, evaluated alongside the raw params
+    # (0 = off); see rl/train.py TrainConfig.param_ema
+    t.add_argument("--param_ema", type=float, default=0.0)
+    # stop after this many evals without a new best (0 = run the full budget)
+    t.add_argument("--early_stop_patience", type=int, default=0)
     t.add_argument("--log_dir", type=str, default=None)
     t.add_argument("--use_mesh", action="store_true")
     t.add_argument("--seed", type=int, default=0)

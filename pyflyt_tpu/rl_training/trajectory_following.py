@@ -91,6 +91,8 @@ def cmd_train(args):
             use_mesh=args.use_mesh,
             seed=args.seed,
             init_from=args.init_from,
+            param_ema=args.param_ema,
+            early_stop_patience=args.early_stop_patience,
         ),
         on_metrics=lambda u, row: print(json.dumps(row)),
     )
@@ -105,9 +107,16 @@ def cmd_eval(args):
     env = build_env(args)
     ppo = _make_ppo(args, env)
     template = ppo.init(jax.random.PRNGKey(0))
-    runner = checkpoint.restore(args.checkpoint, template)
+    if len(args.checkpoint) == 1:
+        runner = checkpoint.restore(args.checkpoint[0], template)
+        params = runner.params
+    else:
+        # checkpoint averaging: mean of the params of several best-model
+        # checkpoints (see rl/checkpoint.py:average_params)
+        params = checkpoint.average_params(args.checkpoint, template.params)
+        runner = template.replace(params=params)
     stats = jax.jit(ppo.evaluate, static_argnums=2)(
-        runner.params, jax.random.PRNGKey(args.seed), args.episodes
+        params, jax.random.PRNGKey(args.seed), args.episodes
     )
     print(json.dumps({k: float(v) for k, v in stats.items()}))
 
@@ -294,13 +303,19 @@ def main(argv=None):
     t.add_argument("--feature_sizes", type=int, nargs="*", default=[])
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
+    # Polyak-averaged parameter shadow, evaluated alongside the raw params
+    # (0 = off); see rl/train.py TrainConfig.param_ema
+    t.add_argument("--param_ema", type=float, default=0.0)
+    # stop after this many evals without a new best (0 = run the full budget)
+    t.add_argument("--early_stop_patience", type=int, default=0)
     t.add_argument("--log_dir", type=str, default=None)
     t.add_argument("--use_mesh", action="store_true")
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")
     add_common(e)
-    e.add_argument("--checkpoint", type=str, required=True)
+    # one checkpoint, or several to evaluate their parameter average
+    e.add_argument("--checkpoint", type=str, nargs="+", required=True)
     e.add_argument("--feature_sizes", type=int, nargs="*", default=[])
     e.add_argument("--episodes", type=int, default=16)
     e.add_argument("--log_dir", type=str, default=None)

@@ -200,3 +200,63 @@ def test_log_std_clamp():
     # and a train iteration still runs with the clamp in the graph
     runner2, metrics = jax.jit(ppo.train_iteration)(runner)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_param_ema_and_early_stop(tmp_path):
+    """train() with a Polyak parameter shadow: eval_ema_* metrics appear,
+    a best_model_ema_* checkpoint is written, and early_stop_patience=1
+    halts the run at the first non-improving eval (with lr=0 the evals are
+    iid draws, so 30 strict improvements in a row can't happen)."""
+    import dataclasses
+
+    from pyflyt_tpu.rl import TrainConfig, train
+
+    cfg = dataclasses.replace(SMALL, learning_rate=0.0)
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+    rows = []
+    runner = train(
+        ppo,
+        TrainConfig(
+            total_timesteps=30 * cfg.batch_size,
+            eval_every_updates=1,
+            eval_episodes=2,
+            log_dir=str(tmp_path),
+            param_ema=0.5,
+            early_stop_patience=1,
+            seed=0,
+        ),
+        on_metrics=lambda u, row: rows.append(row),
+    )
+    assert rows, "no eval rows recorded"
+    assert "eval_ema_mean_reward" in rows[0]
+    assert np.isfinite(rows[0]["eval_ema_mean_reward"])
+    assert int(runner.update_idx) < 30, "early stopping never triggered"
+    ema_ckpts = list(tmp_path.glob("best_model_ema_*"))
+    assert ema_ckpts, "no EMA best-model checkpoint written"
+    # with lr=0 params never move, so the EMA shadow equals the raw params
+    # and both checkpoints hold the same policy
+    raw_ckpts = [p for p in tmp_path.glob("best_model_*")
+                 if "ema" not in p.name]
+    assert raw_ckpts
+
+
+def test_average_params(tmp_path):
+    """checkpoint.average_params returns the element-wise mean of the
+    params subtrees of several checkpoints."""
+    from pyflyt_tpu.rl import checkpoint
+
+    ppo = _make()
+    r1 = ppo.init(jax.random.PRNGKey(0))
+    r2 = ppo.init(jax.random.PRNGKey(1))
+    p1, p2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    checkpoint.save(p1, r1)
+    checkpoint.save(p2, r2)
+    avg = checkpoint.average_params([p1, p2], r1.params)
+    for a, b, m in zip(
+        jax.tree.leaves(r1.params),
+        jax.tree.leaves(r2.params),
+        jax.tree.leaves(avg),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(m), (np.asarray(a) + np.asarray(b)) / 2.0, rtol=1e-6
+        )
