@@ -112,6 +112,7 @@ def cmd_train(args):
         TrainConfig(
             total_timesteps=args.total_timesteps,
             eval_every_updates=args.eval_every_updates,
+            eval_episodes=args.eval_episodes,
             log_dir=args.log_dir,
             use_mesh=args.use_mesh,
             seed=args.seed,
@@ -219,6 +220,7 @@ def main(argv=None):
     t.add_argument("--init_from", type=str, default=None)
     t.add_argument("--total_timesteps", type=int, default=100_000_000)
     t.add_argument("--eval_every_updates", type=int, default=20)
+    t.add_argument("--eval_episodes", type=int, default=16)
     # Polyak-averaged parameter shadow, evaluated alongside the raw params
     # (0 = off); see rl/train.py TrainConfig.param_ema
     t.add_argument("--param_ema", type=float, default=0.0)
