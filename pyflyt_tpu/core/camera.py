@@ -32,13 +32,21 @@ GROUND_B = (102, 102, 102, 255)
 
 @struct.dataclass
 class Boxes:
-    """Oriented boxes: the renderable scene objects."""
+    """Oriented boxes: the renderable scene objects.
+
+    ``rot_index`` (optional) deduplicates rotations: when set, ``rotations``
+    holds (r, 3, 3) UNIQUE rotations and ``rot_index`` maps each of the n
+    boxes to one of them. Rotating every ray into every box frame is the
+    dominant render cost (9 mul + 6 add per ray·box); scenes built from
+    multi-part props sharing one pose — a race gate is 4 segments with ONE
+    rotation — cut that 4× by sharing (see gate_boxes)."""
 
     centers: Array  # (n, 3)
     half_extents: Array  # (n, 3)
-    rotations: Array  # (n, 3, 3) box→world
+    rotations: Array  # (n, 3, 3) box→world, or (r, 3, 3) with rot_index
     colors: Array  # (n, 4) RGBA in [0, 1]
     visible: Array  # (n,) bool
+    rot_index: Array | None = None  # (n,) int32 into rotations, or None
 
 
 def camera_rays(
@@ -92,8 +100,15 @@ def _ray_box(origin: Array, dirs: Array, boxes: Boxes) -> tuple[Array, Array]:
     """
     # ray in each box frame
     rel = origin - boxes.centers  # (n, 3)
-    o = jnp.einsum("nij,nj->ni", jnp.swapaxes(boxes.rotations, -1, -2), rel)
-    d = jnp.einsum("nij,hwj->hwni", jnp.swapaxes(boxes.rotations, -1, -2), dirs)
+    Rt = jnp.swapaxes(boxes.rotations, -1, -2)  # world→box
+    if boxes.rot_index is None:
+        o = jnp.einsum("nij,nj->ni", Rt, rel)
+        d = jnp.einsum("nij,hwj->hwni", Rt, dirs)
+    else:
+        # rotate rays once per UNIQUE rotation, then fan out per box (the
+        # gather fuses into the slab test; the einsum shrinks n→r)
+        d = jnp.einsum("rij,hwj->hwri", Rt, dirs)[:, :, boxes.rot_index, :]
+        o = jnp.einsum("nij,nj->ni", Rt[boxes.rot_index], rel)
     d = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
     inv = 1.0 / d
     t1 = (-boxes.half_extents - o) * inv  # (h, w, n, 3)
@@ -226,7 +241,10 @@ def gate_boxes(
     return Boxes(
         centers=centers.reshape(g * 4, 3),
         half_extents=jnp.tile(seg_halves, (g, 1)),
-        rotations=jnp.repeat(R, 4, axis=0),
+        # the 4 segments of a gate share its rotation: store g unique
+        # rotations and index them (4× less ray-rotation work in _ray_box)
+        rotations=R,
         colors=jnp.repeat(colors, 4, axis=0),
         visible=jnp.ones((g * 4,), bool),
+        rot_index=jnp.repeat(jnp.arange(g, dtype=jnp.int32), 4),
     )
