@@ -202,6 +202,41 @@ def capture_image(
     return render(origin, dirs, boxes, forward=forward)
 
 
+def materialize_rotations(boxes: Boxes) -> Boxes:
+    """Expands shared rotations to one (3, 3) per box and drops ``rot_index``.
+
+    Boxes built with deduplicated rotations (e.g. ``gate_boxes``) have a
+    different pytree structure than plain Boxes, and their indices are only
+    valid against their own rotation table — both break naive concatenation.
+    Normalizing through this first makes any two Boxes mergeable."""
+    if boxes.rot_index is None:
+        return boxes
+    return Boxes(
+        centers=boxes.centers,
+        half_extents=boxes.half_extents,
+        rotations=boxes.rotations[boxes.rot_index],
+        colors=boxes.colors,
+        visible=boxes.visible,
+        rot_index=None,
+    )
+
+
+def concat_boxes(*all_boxes: Boxes) -> Boxes:
+    """Concatenates Boxes into one scene (gym_wrapper.render merges the
+    vehicle body box with the env's ``scene_boxes``). Rotations are
+    materialized per box first so mixed rot_index/None inputs are safe."""
+    mats = [materialize_rotations(b) for b in all_boxes]
+    cat = lambda xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+    return Boxes(
+        centers=cat([b.centers for b in mats]),
+        half_extents=cat([b.half_extents for b in mats]),
+        rotations=cat([b.rotations for b in mats]),
+        colors=cat([b.colors for b in mats]),
+        visible=cat([b.visible for b in mats]),
+        rot_index=None,
+    )
+
+
 def gate_boxes(
     gate_positions: Array, gate_eulers: Array, colors: Array
 ) -> Boxes:

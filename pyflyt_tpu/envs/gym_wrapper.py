@@ -130,10 +130,10 @@ class GymnasiumEnv(gymnasium.Env if gymnasium else object):
                 )
                 boxes = body_box
                 if hasattr(self.fenv, "scene_boxes"):
-                    extra = self.fenv.scene_boxes(state)
-                    boxes = jax.tree.map(
-                        lambda a, b: jnp.concatenate([a, b], axis=0), boxes, extra
-                    )
+                    # concat_boxes materializes any shared-rotation
+                    # (rot_index) geometry — e.g. the gates env's gate_boxes
+                    # — before merging with the plain body box
+                    boxes = cam.concat_boxes(boxes, self.fenv.scene_boxes(state))
                 # chase camera: behind and above the vehicle, yaw-following
                 yaw = view[1][2]
                 offset = jnp.stack(

@@ -125,6 +125,13 @@ class PackedQuadXModHoveringEnv:
 
     # ---- native-batch env API ----------------------------------------------
     def reset(self, keys: Array) -> tuple[PackedModHoverState, Array]:
+        n = keys.shape[0]
+        assert n % pq.SUBLANES == 0, (
+            f"the packed env folds the batch to ({pq.SUBLANES}, N/"
+            f"{pq.SUBLANES}) vreg tiles: batch size must be divisible by "
+            f"{pq.SUBLANES}, got {n} (e.g. round --num_envs/--eval_episodes "
+            f"up, or use the XLA QuadXModHoveringEnv)"
+        )
         st, obs = jax.vmap(self.base.reset)(keys)
         packed = pq.pack_state(st.drone, self.base.flight_mode)
         if self.base.simulate_wind:
@@ -204,8 +211,12 @@ class PackedQuadXModHoveringEnv:
             target_pos=state.target_pos,
             target_psi=state.target_psi,
             step_count=state.step_count + 1,
-            termination=state.termination | contact,
-            truncation=state.truncation | truncation,
+            # already-done lanes freeze their flags too (the XLA env's
+            # tree_select freeze, hovering.py:333-336): without the
+            # ~done_before mask a post-done contact would flip termination
+            # when stepping without auto-reset
+            termination=state.termination | (contact & ~done_before),
+            truncation=state.truncation | (truncation & ~done_before),
             collision=state.collision | contact,
             state16=state16,
             key=key,

@@ -33,6 +33,14 @@ def restore(path: str, template: Any) -> Any:
 
     ``template`` is a matching pytree (e.g. a fresh ``PPO.init`` output) used
     to recover array dtypes/shapes and custom dataclass structure.
+
+    Compatibility note: the ``opt_state`` pytree structure depends on the
+    PPOConfig that built the template — ``fused_sgd`` keeps per-tensor Adam
+    moments while the default path wraps the chain in ``optax.flatten``
+    (introduced round 3; checkpoints written before that, or across a
+    ``fused_sgd`` flag change, have a different opt_state tree). A full
+    restore against a mismatched template raises; fall back to
+    :func:`restore_params` to recover the policy and restart the optimizer.
     """
     path = os.path.abspath(path)
     restored = _checkpointer().restore(path, item=template)

@@ -68,6 +68,11 @@ def train(
     if tcfg.use_mesh:
         from jax.sharding import Mesh
 
+        assert not getattr(ppo.env, "native_batch", False), (
+            "native-batch (packed folded-layout) envs are single-chip: their "
+            "(rows, 8, N/8) state does not shard over an ('env',) mesh — use "
+            "the XLA env with use_mesh, or drop use_mesh"
+        )
         devices = np.array(jax.devices())
         mesh = Mesh(devices, ("env",))
         assert ppo.config.num_envs % len(devices) == 0

@@ -163,6 +163,10 @@ def test_gym_rgb_array_render():
     register_envs()
     for env_id in (
         "PyFlyt/QuadX-Hover-v1",
+        "PyFlyt/QuadX-Waypoints-v1",
+        # gates: its scene_boxes carries rot_index-deduplicated rotations —
+        # regression check for the concat_boxes merge (camera.concat_boxes)
+        "PyFlyt/QuadX-Gates-v1",
         "PyFlyt/Fixedwing-Waypoints-v1",
         "PyFlyt/Rocket-Landing-v1",
     ):
