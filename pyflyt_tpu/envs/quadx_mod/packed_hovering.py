@@ -53,6 +53,24 @@ class PackedModHoverState:
     key: Array
 
 
+@struct.dataclass
+class PackedAutoResetState:
+    """Packed-layout twin of envs/base.py::AutoResetState: the live batch
+    plus a cache of pre-computed resets, refreshed every ``refresh`` steps
+    under a ``lax.cond`` so the per-step reset recompute (a full vmapped
+    base.reset + pack_state — most of the packed rollout cost at 8192 envs,
+    docs/artifacts/ppo_scale_probe_r4_tpu.jsonl) amortizes to 1/refresh.
+    Same deviation class as the XLA cached path: an env finishing twice in
+    one refresh period restarts from the same initial state; its trajectory
+    still diverges through the live per-step kernel PRNG stream."""
+
+    env_state: PackedModHoverState
+    cache_state: PackedModHoverState
+    cache_obs: Array
+    step_idx: Array  # scalar int32
+    key: Array  # PRNG stream for cache refreshes
+
+
 def _fold(x: Array) -> Array:
     """(k, N) -> (k, 8, N/8)."""
     return x.reshape(x.shape[0], pq.SUBLANES, -1)
@@ -287,4 +305,85 @@ class PackedQuadXModHoveringEnv:
             termination=out.termination,
             truncation=out.truncation,
             info=info,
+        )
+
+    # ---- amortized auto-reset (the fast path; envs/base.py semantics) -------
+    def _substitute(
+        self,
+        state: PackedModHoverState,
+        reset_state: PackedModHoverState,
+        done: Array,
+    ) -> PackedModHoverState:
+        """done lanes take ``reset_state``'s entries; the live key stream
+        stays (it seeds the kernel's per-step noise for the whole batch)."""
+        mask = _fold(done[None, :].astype(state.packed.dtype))
+        sel = lambda r, s: jnp.where(done, r, s)  # noqa: E731
+        return PackedModHoverState(
+            packed=jnp.where(mask > 0.5, reset_state.packed, state.packed),
+            target_pos=jnp.where(
+                done[:, None], reset_state.target_pos, state.target_pos
+            ),
+            target_psi=sel(reset_state.target_psi, state.target_psi),
+            step_count=sel(reset_state.step_count, state.step_count),
+            termination=sel(reset_state.termination, state.termination),
+            truncation=sel(reset_state.truncation, state.truncation),
+            collision=sel(reset_state.collision, state.collision),
+            state16=jnp.where(
+                done[:, None], reset_state.state16, state.state16
+            ),
+            key=state.key,
+        )
+
+    def cached_autoreset_init(
+        self, keys: Array
+    ) -> tuple[PackedAutoResetState, Array]:
+        """Resets the batch and fills the reset cache (autoreset_init)."""
+        state, obs = self.reset(keys)
+        cache_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(keys)
+        cache_state, cache_obs = self.reset(cache_keys)
+        return (
+            PackedAutoResetState(
+                env_state=state,
+                cache_state=cache_state,
+                cache_obs=cache_obs,
+                step_idx=jnp.zeros((), jnp.int32),
+                key=jax.random.fold_in(keys[0], 0xCACE),
+            ),
+            obs,
+        )
+
+    def cached_autoreset_step(
+        self, ars: PackedAutoResetState, action: Array, refresh: int = 64
+    ) -> tuple[PackedAutoResetState, StepOut]:
+        """Step with cached auto-reset (base.py::cached_autoreset_step on the
+        folded layout): finished lanes substitute their cached reset; the
+        whole cache regenerates every ``refresh`` steps under a cond."""
+        state, out = self.step(ars.env_state, action)
+        done = out.termination | out.truncation
+
+        state = self._substitute(state, ars.cache_state, done)
+        terminal_obs = out.obs
+        obs = jnp.where(done[:, None], ars.cache_obs, out.obs)
+
+        n = done.shape[0]
+        key, sub = jax.random.split(ars.key)
+
+        def do_refresh(_):
+            return self.reset(jax.random.split(sub, n))
+
+        def keep(_):
+            return ars.cache_state, ars.cache_obs
+
+        cache_state, cache_obs = jax.lax.cond(
+            ars.step_idx % refresh == refresh - 1, do_refresh, keep, None
+        )
+        ars = PackedAutoResetState(
+            env_state=state,
+            cache_state=cache_state,
+            cache_obs=cache_obs,
+            step_idx=ars.step_idx + 1,
+            key=key,
+        )
+        return ars, out.replace(
+            obs=obs, info={**out.info, "terminal_observation": terminal_obs}
         )

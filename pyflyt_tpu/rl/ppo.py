@@ -187,10 +187,14 @@ class PPO:
             # take the whole batch, auto-reset is env-provided. Single-chip
             # (the folded layout doesn't shard on axis 0 — use the XLA env
             # under a mesh).
-            assert self.config.cached_reset_refresh == 0, (
-                "native-batch envs bring their own auto-reset"
-            )
-            env_state, obs = self.env.reset(env_keys)
+            if self.config.cached_reset_refresh > 0:
+                assert hasattr(self.env, "cached_autoreset_init"), (
+                    f"{type(self.env).__name__} has no cached auto-reset "
+                    "fast path; set cached_reset_refresh=0"
+                )
+                env_state, obs = self.env.cached_autoreset_init(env_keys)
+            else:
+                env_state, obs = self.env.reset(env_keys)
         elif self.config.cached_reset_refresh > 0:
             from pyflyt_tpu.envs.base import autoreset_init
 
@@ -226,6 +230,10 @@ class PPO:
     # ------------------------------------------------------------- rollout
     def _env_step(self, env_state, action):
         if getattr(self.env, "native_batch", False):
+            if self.config.cached_reset_refresh > 0:
+                return self.env.cached_autoreset_step(
+                    env_state, action, self.config.cached_reset_refresh
+                )
             return self.env.autoreset_step(env_state, action)
         if self.config.cached_reset_refresh > 0:
             from pyflyt_tpu.envs.base import cached_autoreset_step

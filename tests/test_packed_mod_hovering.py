@@ -121,3 +121,74 @@ def test_ppo_native_batch_trains():
         runner.params, jax.random.PRNGKey(1), 8
     )
     assert np.isfinite(float(stats["mean_reward"]))
+
+
+def test_packed_cached_autoreset_step():
+    """cached_autoreset_step: non-done lanes match the exact step; done
+    lanes take their cached reset entry (obs == cache_obs), and the cache
+    refreshes on the period boundary."""
+    packed = PackedQuadXModHoveringEnv.create(
+        **{**KW, "max_duration_seconds": 0.1}  # 5 steps at 40 Hz
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), N)
+    ars, obs0 = packed.cached_autoreset_init(keys)
+    # the cache is a valid reset batch, distinct from the live one
+    assert not np.allclose(np.asarray(ars.cache_obs), np.asarray(obs0))
+
+    act = jnp.zeros((N, 4))
+    step = jax.jit(packed.cached_autoreset_step, static_argnums=2)
+    # force half the lanes to truncate on the next step
+    forced = jnp.arange(N) < N // 2
+    ars = ars.replace(
+        env_state=ars.env_state.replace(
+            step_count=jnp.where(
+                forced, packed.base.max_steps, ars.env_state.step_count
+            )
+        )
+    )
+    cache_obs_before = np.asarray(ars.cache_obs)
+    exact_state, exact_out = jax.jit(packed.step)(ars.env_state, act)
+    ars2, out = step(ars, act, 4)
+    done = np.asarray(out.termination | out.truncation)
+    assert done[: N // 2].all() and not done[N // 2 :].any()
+    # done lanes: returned obs is the cached reset obs; live state matches it
+    np.testing.assert_allclose(
+        np.asarray(out.obs)[done], cache_obs_before[done]
+    )
+    # pre-reset transition surfaced (terminal_observation == exact step obs)
+    np.testing.assert_allclose(
+        np.asarray(out.info["terminal_observation"]),
+        np.asarray(exact_out.obs), atol=1e-6,
+    )
+    # non-done lanes: identical to the exact (uncached) step
+    np.testing.assert_allclose(
+        np.asarray(out.obs)[~done], np.asarray(exact_out.obs)[~done]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ars2.env_state.step_count)[done], 0
+    )
+    # refresh period 4: cache unchanged for steps 1-3, regenerated at step 4
+    for i in range(3):
+        ars2, _ = step(ars2, act, 4)
+        if i < 2:
+            np.testing.assert_array_equal(
+                np.asarray(ars2.cache_obs), cache_obs_before
+            )
+    assert not np.allclose(np.asarray(ars2.cache_obs), cache_obs_before)
+
+
+def test_ppo_native_batch_cached_reset_trains():
+    """PPO + packed env + cached_reset_refresh: the round-4 headline rollout
+    path compiles and trains (finite metrics)."""
+    from pyflyt_tpu.rl.ppo import PPO, PPOConfig
+
+    env = PackedQuadXModHoveringEnv.create(
+        **{**KW, "max_duration_seconds": 0.5}
+    )
+    cfg = PPOConfig(num_envs=16, rollout_steps=8, num_epochs=2,
+                    num_minibatches=4, feature_sizes=(32, 32),
+                    cached_reset_refresh=4)
+    ppo = PPO(env, cfg)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    runner, metrics = jax.jit(ppo.train_iteration)(runner)
+    assert np.isfinite(float(metrics["loss"]))
