@@ -49,22 +49,14 @@ class Boxes:
     rot_index: Array | None = None  # (n,) int32 into rotations, or None
 
 
-def camera_rays(
-    position: Array,
-    euler: Array,
-    resolution: tuple[int, int],
-    fov_degrees: float,
-    camera_angle_degrees: float = 0.0,
-    use_gimbal: bool = False,
-) -> tuple[Array, Array]:
-    """(origin (3,), directions (H, W, 3)) for the drone-mounted camera.
-
-    FPV mode tilts the view by ``camera_angle_degrees`` about the body pitch
-    axis; gimbal mode locks roll and pitches down by the same angle
-    (camera.py:113-121).
-    """
+def _view_euler(
+    euler: Array, camera_angle_degrees: float, use_gimbal: bool
+) -> Array:
+    """FPV mode tilts the view by ``camera_angle_degrees`` about the body
+    pitch axis; gimbal mode locks roll and pitches down by the same angle
+    (camera.py:113-121)."""
     if use_gimbal:
-        euler = jnp.stack(
+        return jnp.stack(
             [
                 jnp.zeros_like(euler[..., 0]),
                 jnp.full_like(euler[..., 1], -jnp.deg2rad(camera_angle_degrees)),
@@ -72,13 +64,18 @@ def camera_rays(
             ],
             axis=-1,
         )
-    else:
-        euler = euler.at[..., 1].add(jnp.deg2rad(camera_angle_degrees))
-    R = pm.euler_to_rotmat(euler)
-    forward = R[..., :, 0]
-    left = R[..., :, 1]
-    up = R[..., :, 2]
+    return euler.at[..., 1].add(jnp.deg2rad(camera_angle_degrees))
 
+
+def _frustum_rays(
+    forward: Array,
+    left: Array,
+    up: Array,
+    resolution: tuple[int, int],
+    fov_degrees: float,
+) -> Array:
+    """(H, W, 3) unit ray directions through the image plane of an
+    orthonormal FLU camera basis."""
     h, w = resolution
     tan_half = jnp.tan(jnp.deg2rad(fov_degrees) / 2.0)
     aspect = w / h  # camera.py:75
@@ -89,8 +86,42 @@ def camera_rays(
         + u[None, :, None] * left[None, :]
         + v[:, None, None] * up[None, :]
     )
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+
+def camera_rays(
+    position: Array,
+    euler: Array,
+    resolution: tuple[int, int],
+    fov_degrees: float,
+    camera_angle_degrees: float = 0.0,
+    use_gimbal: bool = False,
+) -> tuple[Array, Array]:
+    """(origin (3,), directions (H, W, 3)) for the drone-mounted camera."""
+    R = pm.euler_to_rotmat(_view_euler(euler, camera_angle_degrees, use_gimbal))
+    dirs = _frustum_rays(
+        R[..., :, 0], R[..., :, 1], R[..., :, 2], resolution, fov_degrees
+    )
     return position, dirs
+
+
+def camera_rays_tracking(
+    eye: Array,
+    target: Array,
+    up_hint: Array,
+    resolution: tuple[int, int],
+    fov_degrees: float,
+) -> tuple[Array, Array]:
+    """Look-at rays for the tracking camera: the view re-aims from ``eye``
+    at ``target`` (the vehicle body) instead of out to infinity, with the
+    camera roll set by ``up_hint`` (the reference passes the view rotation's
+    up vector into computeViewMatrix — camera.py:124-137)."""
+    f = target - eye
+    f = f / jnp.maximum(jnp.linalg.norm(f), 1e-9)
+    left = jnp.cross(up_hint, f)
+    left = left / jnp.maximum(jnp.linalg.norm(left), 1e-9)
+    up = jnp.cross(f, left)
+    return eye, _frustum_rays(f, left, up, resolution, fov_degrees)
 
 
 def _ray_box(origin: Array, dirs: Array, boxes: Boxes) -> tuple[Array, Array]:
@@ -189,12 +220,35 @@ def capture_image(
     fov_degrees: float = 90.0,
     camera_angle_degrees: float = 0.0,
     use_gimbal: bool = False,
+    position_offset: Array | None = None,
+    is_tracking: bool = False,
+    cinematic: bool = False,
 ) -> tuple[Array, Array, Array]:
-    """Camera.capture_image equivalent: (rgbaImg, depthImg, segImg)."""
-    origin, dirs = camera_rays(
-        position, euler, resolution, fov_degrees, camera_angle_degrees,
-        use_gimbal,
-    )
+    """Camera.capture_image equivalent: (rgbaImg, depthImg, segImg).
+
+    ``position_offset`` displaces the eye by the LINK-frame offset rotated
+    into world coordinates (transposed when ``cinematic`` —
+    camera.py:105-112); ``is_tracking`` re-aims the view at the vehicle
+    link position instead of out along the view axis (camera.py:86,128-137;
+    the reference warns that tracking + gimbal is "funky" — both are
+    honored here the same way: the gimbal only shapes the up vector)."""
+    eye = position
+    if position_offset is not None:
+        R_link = pm.euler_to_rotmat(euler)
+        R_off = jnp.swapaxes(R_link, -1, -2) if cinematic else R_link
+        eye = position + R_off @ jnp.asarray(position_offset)
+    if is_tracking:
+        R_view = pm.euler_to_rotmat(
+            _view_euler(euler, camera_angle_degrees, use_gimbal)
+        )
+        origin, dirs = camera_rays_tracking(
+            eye, position, R_view[..., :, 2], resolution, fov_degrees
+        )
+    else:
+        origin, dirs = camera_rays(
+            eye, euler, resolution, fov_degrees, camera_angle_degrees,
+            use_gimbal,
+        )
     # view axis = central ray (normalized forward after gimbal/FPV tilt)
     h, w = dirs.shape[:2]
     forward = dirs[h // 2, w // 2]

@@ -176,3 +176,53 @@ def test_gym_rgb_array_render():
         assert img.shape == (480, 480, 4), env_id
         assert img.dtype == np.uint8
         env.close()
+
+
+def test_tracking_camera():
+    """is_tracking_camera parity (reference camera.py:86,105-137): the eye
+    is displaced by the link-frame offset and the view re-aims at the
+    vehicle link position instead of out to infinity."""
+    from pyflyt_tpu.core import camera as cam
+    from pyflyt_tpu.core import math as pm
+
+    pos = jnp.asarray([1.0, 2.0, 3.0])
+    euler = jnp.asarray([0.1, -0.2, 0.7])
+    offset = jnp.asarray([-2.0, 0.0, 1.0])
+
+    # eye = link pos + R_link @ offset (camera.py:105-112)
+    eye_expect = np.asarray(pos + pm.euler_to_rotmat(euler) @ offset)
+    origin, dirs = cam.camera_rays_tracking(
+        jnp.asarray(eye_expect), pos,
+        pm.euler_to_rotmat(euler)[:, 2], (65, 65), 90.0,
+    )
+    np.testing.assert_allclose(np.asarray(origin), eye_expect, atol=1e-6)
+    # the central ray points from eye at the link position
+    center = np.asarray(dirs[32, 32])
+    want = np.asarray(pos) - eye_expect
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(center, want, atol=1e-5)
+    # rays are unit length and the basis is orthonormal (no roll skew):
+    # every ray on the central column stays in the forward/up plane
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(dirs, axis=-1)), 1.0, atol=1e-5
+    )
+
+    # end-to-end: a box at the link position lands in the image center
+    boxes = cam.Boxes(
+        centers=pos[None, :],
+        half_extents=jnp.asarray([[0.3, 0.3, 0.3]]),
+        rotations=jnp.eye(3)[None],
+        colors=jnp.asarray([[0.0, 0.0, 1.0, 1.0]]),
+        visible=jnp.ones((1,), bool),
+    )
+    rgba, _, seg = cam.capture_image(
+        pos, euler, boxes, resolution=(65, 65), fov_degrees=90.0,
+        position_offset=offset, is_tracking=True,
+    )
+    assert int(seg[32, 32]) == 1  # box id 1 at the exact center
+    # without tracking, the same view axis misses the vehicle
+    _, _, seg_fpv = cam.capture_image(
+        pos, euler, boxes, resolution=(65, 65), fov_degrees=90.0,
+        position_offset=offset, is_tracking=False,
+    )
+    assert int(seg_fpv[32, 32]) != 1
