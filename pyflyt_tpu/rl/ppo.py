@@ -71,10 +71,14 @@ class PPOConfig:
     # behind compute, and the optimizer runs in-register. Same math as the
     # XLA path at bf16-matmul-truncation level (the XLA path's f32 matmuls
     # already run as bf16 MXU passes under JAX's default TPU precision).
-    # Opt-in fast path; the exact-XLA scan stays the default. Single-chip
-    # only for now: the kernel consumes the whole shuffled batch locally —
-    # under an ('env',) mesh keep the default XLA epoch (its collectives
-    # are mesh-aware).
+    # Opt-in fast path; the exact-XLA scan stays the default. Under an
+    # ('env',) mesh (PPO(..., mesh=...)/train(use_mesh=True)) each device
+    # runs the epoch kernel on its LOCAL rows of every minibatch and
+    # params/Adam moments are pmean'd across devices after each epoch —
+    # exact on a 1-device mesh; on >1 devices this is local-Adam with
+    # epoch-level averaging (grad-norm clip and Adam run on local
+    # gradients), a documented deviation from the global-minibatch XLA
+    # path. Advantage normalization uses GLOBAL minibatch stats either way.
     fused_sgd: bool = False
     # rows per kernel grid step (VMEM budget knob; must divide the
     # minibatch size after clipping)
@@ -148,9 +152,14 @@ class PPO:
         config: PPOConfig = PPOConfig(),
         action_low: Array | None = None,
         action_high: Array | None = None,
+        mesh=None,
     ):
         self.env = env
         self.config = config
+        # ('env',) device mesh for multi-chip training (rl/train.py sets it
+        # with use_mesh). Only consulted by the fused-SGD path; the XLA
+        # epoch is mesh-agnostic (jit inserts its collectives).
+        self.mesh = mesh
         low, high = env.action_bounds()
         self.action_low = jnp.asarray(low if action_low is None else action_low)
         self.action_high = jnp.asarray(high if action_high is None else action_high)
@@ -396,6 +405,14 @@ class PPO:
         if cfg.fused_sgd:
             from pyflyt_tpu.ops import pallas_sgd
 
+            # under a mesh each device's kernel sees its LOCAL rows of every
+            # minibatch (shard_map below) — build for the local row count
+            n_dev = self.mesh.size if self.mesh is not None else 1
+            assert cfg.minibatch_size % n_dev == 0, (
+                f"fused_sgd: minibatch size {cfg.minibatch_size} must divide "
+                f"over the {n_dev}-device mesh"
+            )
+            local_mb = cfg.minibatch_size // n_dev
             fused_run = pallas_sgd.build_fused_epoch(
                 obs_dim=obs_dim,
                 act_dim=act_dim,
@@ -403,14 +420,14 @@ class PPO:
                 vf_sizes=tuple(cfg.feature_sizes) + tuple(cfg.vf_sizes),
                 log_std_range=cfg.log_std_range,
                 num_minibatches=cfg.num_minibatches,
-                minibatch_size=cfg.minibatch_size,
+                minibatch_size=local_mb,
                 feat=feat,
                 learning_rate=cfg.learning_rate,
                 clip_eps=cfg.clip_eps,
                 entropy_coef=cfg.entropy_coef,
                 value_coef=cfg.value_coef,
                 max_grad_norm=cfg.max_grad_norm,
-                chunk=cfg.fused_sgd_chunk,
+                chunk=min(cfg.fused_sgd_chunk, local_mb),
             )
 
         def epoch(carry, _):
@@ -437,9 +454,49 @@ class PPO:
                 mu = pallas_sgd.params_to_leaves(adam_state.mu)
                 nu = pallas_sgd.params_to_leaves(adam_state.nu)
                 t0 = adam_state.count.reshape((1,)).astype(jnp.int32)
-                new_leaves, new_mu, new_nu, m = fused_run(
-                    mbs, adv_stats, t0, leaves, mu, nu
-                )
+                if self.mesh is not None:
+                    # per-device epoch kernel on local minibatch rows; the
+                    # epoch's resulting params/moments are averaged across
+                    # the mesh (see PPOConfig.fused_sgd semantics note)
+                    from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    def device_epoch(mbs_l, adv_l, t0_l, lv_l, mu_l, nu_l):
+                        nl, nm, nn, mm = fused_run(
+                            mbs_l, adv_l, t0_l, lv_l, mu_l, nu_l
+                        )
+                        pmean = lambda t: jax.tree.map(  # noqa: E731
+                            lambda x: jax.lax.pmean(x, "env"), t
+                        )
+                        return pmean(nl), pmean(nm), pmean(nn), pmean(mm)
+
+                    try:
+                        smap = shard_map(
+                            device_epoch,
+                            mesh=self.mesh,
+                            in_specs=(
+                                P(None, "env"), P(), P(), P(), P(), P(),
+                            ),
+                            out_specs=(P(), P(), P(), P()),
+                            check_vma=False,  # pallas_call can't declare vma
+                        )
+                    except TypeError:  # older JAX: the flag was check_rep
+                        smap = shard_map(
+                            device_epoch,
+                            mesh=self.mesh,
+                            in_specs=(
+                                P(None, "env"), P(), P(), P(), P(), P(),
+                            ),
+                            out_specs=(P(), P(), P(), P()),
+                            check_rep=False,
+                        )
+                    new_leaves, new_mu, new_nu, m = smap(
+                        mbs, adv_stats, t0, leaves, mu, nu
+                    )
+                else:
+                    new_leaves, new_mu, new_nu, m = fused_run(
+                        mbs, adv_stats, t0, leaves, mu, nu
+                    )
                 params = pallas_sgd.leaves_to_params(new_leaves, params)
                 new_adam = adam_state._replace(
                     count=adam_state.count + cfg.num_minibatches,

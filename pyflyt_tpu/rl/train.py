@@ -76,6 +76,7 @@ def train(
         devices = np.array(jax.devices())
         mesh = Mesh(devices, ("env",))
         assert ppo.config.num_envs % len(devices) == 0
+        ppo.mesh = mesh  # fused_sgd consults it (per-device epoch kernel)
         runner = ppo.shard_runner(runner, mesh)
 
     train_it = jax.jit(ppo.train_iteration, donate_argnums=(0,))
