@@ -396,6 +396,17 @@ def main():
         agents=2,
     )
 
+    # the round-3 headline config for the refolded drone-per-lane kernel:
+    # 8192 matches, default tile 512, longer chunks — regression gate for
+    # the 44.6M agent-steps/s layout win
+    # (docs/artifacts/dogfight_layout_sweep_tpu.jsonl)
+    bench_fused(
+        "MA-Dogfight-8192", PackedMAFixedwingDogfightEnv(base=dog),
+        8192, 64,
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.8]), (8192, 2, 1)),
+        agents=2,
+    )
+
     # vision task: QuadX-Gates with the on-device ray-cast FPV render
     # (core/camera.py) at the reference's 128x128 resolution
     # (quadx_gates_env.py:69-84). The render dominates: each env-step casts

@@ -24,6 +24,26 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# slow tier: interpret-mode kernel parity files (auto-marked kernel_parity;
+# deselected by default via addopts in pyproject.toml — run them with
+# `pytest -m kernel_parity tests/ -q`)
+_KERNEL_PARITY_FILES = {
+    "test_pallas_quadx.py",
+    "test_pallas_fixedwing.py",
+    "test_pallas_rocket.py",
+    "test_pallas_dogfight.py",
+    "test_pallas_sgd.py",
+    "test_packed_hover.py",
+    "test_packed_waypoints.py",
+    "test_packed_mod_hovering.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in _KERNEL_PARITY_FILES:
+            item.add_marker(pytest.mark.kernel_parity)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
