@@ -48,6 +48,11 @@ class FixedwingWaypointsEnv(FixedwingBaseEnv):
             flight_dome_size=self.flight_dome_size,
         )
 
+    def scene_boxes(self, state: FixedwingWaypointsState):
+        """Waypoint markers with the reference's fading colors
+        (waypoint_handler.py:85-103) for gym_wrapper.render."""
+        return self.waypoints.marker_boxes(state.wp)
+
     @property
     def obs_size(self) -> int:
         return self.combined_size

@@ -53,6 +53,11 @@ class QuadXWaypointsEnv(QuadXBaseEnv):
             flight_dome_size=self.flight_dome_size,
         )
 
+    def scene_boxes(self, state: QuadXWaypointsState):
+        """Waypoint markers with the reference's fading colors
+        (waypoint_handler.py:85-103) for gym_wrapper.render."""
+        return self.waypoints.marker_boxes(state.wp)
+
     # ----- observation ----------------------------------------------------
     @property
     def obs_size(self) -> int:  # attitude part only; deltas are separate

@@ -141,3 +141,34 @@ class WaypointHandler:
 
     def all_targets_reached(self, ws: WaypointState) -> Array:
         return ws.idx >= self.num_targets
+
+    def marker_boxes(self, ws: WaypointState):
+        """Waypoint markers for third-person renders (gym_wrapper.render).
+
+        The reference loads one target.urdf per waypoint scaled to
+        goal_reach_distance/4 and colors them green fading darker with list
+        position, deleting each marker as it is reached
+        (waypoint_handler.py:85-103, 172-183). Here: one box per target,
+        color (0, 1 - i/n, 0, 1) by ORIGINAL index, hidden once passed.
+        """
+        from pyflyt_tpu.core import camera as cam
+
+        n = self.num_targets
+        order = jnp.arange(n)
+        half = self.goal_reach_distance / 4.0
+        colors = jnp.stack(
+            [
+                jnp.zeros(n),
+                1.0 - order / n,
+                jnp.zeros(n),
+                jnp.ones(n),
+            ],
+            axis=-1,
+        )
+        return cam.Boxes(
+            centers=ws.targets,
+            half_extents=jnp.full((n, 3), half),
+            rotations=jnp.broadcast_to(jnp.eye(3), (n, 3, 3)),
+            colors=colors,
+            visible=order >= ws.idx,
+        )
