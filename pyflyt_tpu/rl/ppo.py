@@ -260,44 +260,38 @@ class PPO:
             clipped = jnp.clip(action, self.action_low, self.action_high)
             env_state, out = self._env_step(env_state, clipped)
             done = out.termination | out.truncation
+            # time-limit bootstrap (SB3 semantics): truncated-but-not-
+            # terminated steps get γ·V(terminal_obs) folded into the reward,
+            # using the pre-reset observation the autoreset paths surface.
+            # (Round 4 tried hoisting this apply out of the scan into one
+            # post-scan batched pass — identical math, but stacking the
+            # (T, B, obs) terminal observations through the scan ys cost
+            # MORE than the in-scan apply saved: 25.2 -> 34.9 ms at 8192
+            # envs, ppo_20m_r4b_tpu.jsonl stage A1. Keep it in-scan.)
+            reward = out.reward
+            term_obs = out.info.get("terminal_observation")
+            if term_obs is not None:
+                _, _, v_term = self.network.apply(
+                    runner.params, _flat_obs(term_obs)
+                )
+                trunc_only = out.truncation & ~out.termination
+                reward = reward + self.config.gamma * v_term * trunc_only
             t = Transition(
                 obs=obs,
                 action=action,
                 log_prob=log_prob,
                 value=value,
-                reward=out.reward,
+                reward=reward,
                 done=done,
             )
-            # time-limit bootstrap inputs (SB3 semantics): stash the
-            # pre-reset observation + truncated-only mask; V(terminal_obs)
-            # is applied AFTER the scan in one batched network pass —
-            # identical math (params are fixed across the rollout), but it
-            # removes a per-step network.apply from the sequential scan
-            # body (measured 8192-env rollout cost, ppo_fast_recipe_r4)
-            term_obs = out.info.get("terminal_observation")
-            aux = ()
-            if term_obs is not None:
-                aux = (_flat_obs(term_obs), out.truncation & ~out.termination)
-            return (env_state, _flat_obs(out.obs), key), (t, aux)
+            return (env_state, _flat_obs(out.obs), key), t
 
-        (env_state, obs, key), (traj, aux) = jax.lax.scan(
+        (env_state, obs, key), traj = jax.lax.scan(
             body,
             (runner.env_state, runner.obs, runner.key),
             None,
             length=self.config.rollout_steps,
         )
-        if aux != ():
-            term_obs, trunc_only = aux  # (T, B, obs) / (T, B)
-            t_dim, b_dim = trunc_only.shape
-            _, _, v_term = self.network.apply(
-                runner.params, term_obs.reshape(t_dim * b_dim, -1)
-            )
-            traj = traj.replace(
-                reward=traj.reward
-                + self.config.gamma
-                * v_term.reshape(t_dim, b_dim)
-                * trunc_only
-            )
         return runner.replace(env_state=env_state, obs=obs, key=key), traj
 
     # ----------------------------------------------------------------- GAE
