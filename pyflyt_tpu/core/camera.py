@@ -38,8 +38,8 @@ class Boxes:
     holds (r, 3, 3) UNIQUE rotations and ``rot_index`` maps each of the n
     boxes to one of them. Rotating every ray into every box frame is the
     dominant render cost (9 mul + 6 add per ray·box); scenes built from
-    multi-part props sharing one pose — a race gate is 4 segments with ONE
-    rotation — cut that 4× by sharing (see gate_boxes)."""
+    multi-part props sharing one pose — e.g. the 4 bars of
+    gate_boxes_segments share ONE rotation — cut that 4× by sharing."""
 
     centers: Array  # (n, 3)
     half_extents: Array  # (n, 3)
@@ -47,6 +47,12 @@ class Boxes:
     colors: Array  # (n, 4) RGBA in [0, 1]
     visible: Array  # (n,) bool
     rot_index: Array | None = None  # (n,) int32 into rotations, or None
+    # (n, 2) local (y, z) half-extents of a rectangular through-hole along
+    # the box x-axis, or None. A holed box renders as the exact CSG
+    # difference outer-minus-hole-prism — a race gate's 4 bars ARE that
+    # solid, so one holed-box test replaces 4 slab tests (see gate_boxes).
+    # Entries with hole_half <= 0 are solid.
+    hole_half: Array | None = None
 
 
 def _view_euler(
@@ -151,8 +157,30 @@ def _ray_box(origin: Array, dirs: Array, boxes: Boxes) -> tuple[Array, Array]:
     t2 = (boxes.half_extents - o) * inv
     tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
     tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    hit = (tmax >= jnp.maximum(tmin, NEAR)) & boxes.visible & (tmin < FAR)
-    t = jnp.where(tmin > NEAR, tmin, tmax)
+    if boxes.hole_half is None:
+        hit = (tmax >= jnp.maximum(tmin, NEAR)) & boxes.visible & (tmin < FAR)
+        t = jnp.where(tmin > NEAR, tmin, tmax)
+        return jnp.where(hit, t, jnp.inf), hit
+    # holed boxes: the ray's solid span is [tmin, tmax] minus the open hole
+    # interval (h_lo, h_hi) from the 2D slab test of the through-hole prism
+    # (reusing the already-computed reciprocals). Each of the two remaining
+    # sub-intervals is resolved with the same entry/exit convention as the
+    # solid case, nearest first.
+    h1 = (-boxes.hole_half - o[..., 1:]) * inv[..., 1:]
+    h2 = (boxes.hole_half - o[..., 1:]) * inv[..., 1:]
+    h_lo = jnp.max(jnp.minimum(h1, h2), axis=-1)
+    h_hi = jnp.min(jnp.maximum(h1, h2), axis=-1)
+    no_hole = jnp.all(boxes.hole_half <= 0.0, axis=-1)  # (n,)
+    h_lo = jnp.where(no_hole, jnp.inf, h_lo)
+    h_hi = jnp.where(no_hole, -jnp.inf, h_hi)
+    ta, tb = tmin, jnp.minimum(tmax, h_lo)  # front solid sub-interval
+    ua, ub = jnp.maximum(tmin, h_hi), tmax  # back solid sub-interval
+    va = (tb >= jnp.maximum(ta, NEAR)) & (ta < FAR)
+    vb = (ub >= jnp.maximum(ua, NEAR)) & (ua < FAR)
+    t_a = jnp.where(ta > NEAR, ta, tb)
+    t_b = jnp.where(ua > NEAR, ua, ub)
+    hit = (va | vb) & boxes.visible
+    t = jnp.where(va, t_a, t_b)
     return jnp.where(hit, t, jnp.inf), hit
 
 
@@ -264,19 +292,14 @@ def capture_image(
 def materialize_rotations(boxes: Boxes) -> Boxes:
     """Expands shared rotations to one (3, 3) per box and drops ``rot_index``.
 
-    Boxes built with deduplicated rotations (e.g. ``gate_boxes``) have a
+    Boxes built with deduplicated rotations (e.g. ``gate_boxes_segments``) have a
     different pytree structure than plain Boxes, and their indices are only
     valid against their own rotation table — both break naive concatenation.
     Normalizing through this first makes any two Boxes mergeable."""
     if boxes.rot_index is None:
         return boxes
-    return Boxes(
-        centers=boxes.centers,
-        half_extents=boxes.half_extents,
-        rotations=boxes.rotations[boxes.rot_index],
-        colors=boxes.colors,
-        visible=boxes.visible,
-        rot_index=None,
+    return boxes.replace(
+        rotations=boxes.rotations[boxes.rot_index], rot_index=None
     )
 
 
@@ -286,6 +309,15 @@ def concat_boxes(*all_boxes: Boxes) -> Boxes:
     materialized per box first so mixed rot_index/None inputs are safe."""
     mats = [materialize_rotations(b) for b in all_boxes]
     cat = lambda xs: jnp.concatenate(xs, axis=0)  # noqa: E731
+    any_hole = any(b.hole_half is not None for b in mats)
+    hole = None
+    if any_hole:
+        # hole_half <= 0 marks a solid box, so plain boxes merge as zeros
+        hole = cat([
+            b.hole_half if b.hole_half is not None
+            else jnp.zeros((b.centers.shape[0], 2), b.centers.dtype)
+            for b in mats
+        ])
     return Boxes(
         centers=cat([b.centers for b in mats]),
         half_extents=cat([b.half_extents for b in mats]),
@@ -293,15 +325,20 @@ def concat_boxes(*all_boxes: Boxes) -> Boxes:
         colors=cat([b.colors for b in mats]),
         visible=cat([b.visible for b in mats]),
         rot_index=None,
+        hole_half=hole,
     )
 
 
 def gate_boxes(
     gate_positions: Array, gate_eulers: Array, colors: Array
 ) -> Boxes:
-    """The race gate's 4 frame segments as oriented boxes
-    (race_gate.urdf: bottom/top 0.05×0.5×0.05 at z∓0.225, left/right
-    0.05×0.05×0.4 at y∓0.225).
+    """The race gate frame as ONE holed box per gate.
+
+    The union of the 4 frame bars (gate_boxes_segments) is exactly the
+    0.05×0.5×0.5 outer box minus the 0.4×0.4 through-hole, so a single
+    holed-box test replaces 4 slab tests — ~3× fewer VPU ops per ray and a
+    4× smaller closest-hit reduction in the render hot loop
+    (test_gate_frame_csg_parity checks pixel equality against the 4 bars).
 
     Args:
         gate_positions: (g, 3) gate centers.
@@ -309,7 +346,29 @@ def gate_boxes(
         colors: (g, 4) RGBA per gate in [0, 1].
 
     Returns:
-        Boxes with 4·g entries.
+        Boxes with g entries (hole_half set).
+    """
+    g = gate_positions.shape[0]
+    dtype = gate_positions.dtype
+    return Boxes(
+        centers=gate_positions,
+        half_extents=jnp.broadcast_to(
+            jnp.asarray([0.025, 0.25, 0.25], dtype), (g, 3)
+        ),
+        rotations=pm.euler_to_rotmat(gate_eulers),
+        colors=colors,
+        visible=jnp.ones((g,), bool),
+        hole_half=jnp.broadcast_to(jnp.asarray([0.2, 0.2], dtype), (g, 2)),
+    )
+
+
+def gate_boxes_segments(
+    gate_positions: Array, gate_eulers: Array, colors: Array
+) -> Boxes:
+    """The race gate's 4 frame segments as plain oriented boxes
+    (race_gate.urdf: bottom/top 0.05×0.5×0.05 at z∓0.225, left/right
+    0.05×0.05×0.4 at y∓0.225) — the brute-force ground truth that
+    ``gate_boxes``'s holed-box CSG is parity-tested against.
     """
     seg_offsets = jnp.asarray(
         [

@@ -68,7 +68,7 @@ def test_render_yaw_turns_view():
 
 def test_gate_boxes_frame():
     """4 segments forming a square opening around the gate center."""
-    boxes = cam.gate_boxes(
+    boxes = cam.gate_boxes_segments(
         jnp.asarray([[0.0, 0.0, 1.0]]),
         jnp.zeros((1, 3)),
         jnp.asarray([[0.0, 1.0, 0.0, 1.0]]),
@@ -78,6 +78,42 @@ def test_gate_boxes_frame():
     np.testing.assert_allclose(
         sorted(c[:, 2]), [0.775, 1.0, 1.0, 1.225], atol=1e-6
     )
+
+
+def test_gate_frame_csg_parity():
+    """gate_boxes (one holed box per gate) renders pixel-identically to the
+    brute-force 4-bar union (gate_boxes_segments) from random viewpoints —
+    same colors, same depth, same per-GATE segmentation."""
+    key = jax.random.PRNGKey(7)
+    k_pos, k_ang, k_eye, k_look = jax.random.split(key, 4)
+    g = 4
+    positions = jax.random.uniform(k_pos, (g, 3), minval=-3.0, maxval=3.0)
+    positions = positions.at[:, 2].add(4.0)
+    eulers = jax.random.uniform(k_ang, (g, 3), minval=-1.2, maxval=1.2)
+    colors = jnp.eye(4)[jnp.arange(g) % 4] * 0.8 + 0.2
+    holed = cam.gate_boxes(positions, eulers, colors)
+    bars = cam.gate_boxes_segments(positions, eulers, colors)
+    for i in range(6):
+        eye = jax.random.uniform(
+            jax.random.fold_in(k_eye, i), (3,), minval=-6.0, maxval=6.0
+        ).at[2].add(7.0)
+        euler = jax.random.uniform(
+            jax.random.fold_in(k_look, i), (3,), minval=-1.0, maxval=1.0
+        )
+        rgba_h, depth_h, seg_h = cam.capture_image(
+            eye, euler, holed, resolution=(48, 48)
+        )
+        rgba_b, depth_b, seg_b = cam.capture_image(
+            eye, euler, bars, resolution=(48, 48)
+        )
+        np.testing.assert_array_equal(np.asarray(rgba_h), np.asarray(rgba_b))
+        np.testing.assert_allclose(
+            np.asarray(depth_h), np.asarray(depth_b), atol=1e-5
+        )
+        # bar index 4·gate+bar → gate index (ground 0 / sky −1 unchanged)
+        seg_b = np.asarray(seg_b)
+        seg_gate = np.where(seg_b > 0, (seg_b - 1) // 4 + 1, seg_b)
+        np.testing.assert_array_equal(np.asarray(seg_h), seg_gate)
 
 
 # ---------------------------------------------------------------------------
