@@ -282,6 +282,30 @@ class MAFixedwingDogfightEnv:
         # the distance memo starts equal so the first progress reward is 0
         return state, state.observations
 
+    def scene_boxes(self, state: DogfightState):
+        """Gunsight markers for third-person renders, recolored on hit.
+
+        The reference recolors each plane's gunsight cone (link 7) red while
+        that agent is scoring a hit and black otherwise
+        (ma_fixedwing_dogfight_env.py:383-394, colors :384-385); here the
+        sight is a thin box ahead of the nose with the same two colors."""
+        from pyflyt_tpu.core import camera as cam
+
+        view = state.drones.read.view  # (2, 4, 3)
+        R, forward = compute_rotation_forward(view[:, 1])
+        hit = jnp.asarray([1.0, 0.0, 0.0, 0.2])
+        norm = jnp.asarray([0.0, 0.0, 0.0, 0.2])
+        colors = jnp.where(state.current_hits[:, None], hit, norm)
+        return cam.Boxes(
+            centers=view[:, 3] + forward * 0.65,
+            half_extents=jnp.broadcast_to(
+                jnp.asarray([0.4, 0.02, 0.02]), (2, 3)
+            ),
+            rotations=R,
+            colors=colors,
+            visible=state.alive,
+        )
+
     def step(
         self, state: DogfightState, actions: Array
     ) -> tuple[DogfightState, MAStepOut]:

@@ -65,6 +65,7 @@ _DEFAULT_START = (
 
 @dataclasses.dataclass(frozen=True)
 class MAQuadXHoverEnv:
+    render_half_extents = (0.12, 0.12, 0.04)  # quad body box for renders
     start_pos: tuple = _DEFAULT_START
     start_orn: tuple = ((0.0, 0.0, 0.0),) * 4
     flight_mode: int = 0

@@ -28,11 +28,13 @@ except ImportError:  # pragma: no cover
 class PettingZooEnv(ParallelEnv):
     """Wraps a functional MA env (MAQuadXHoverEnv / MAFixedwingDogfightEnv)."""
 
-    metadata = {"render_modes": [], "name": "pyflyt_tpu_ma_env"}
+    metadata = {"render_modes": ["rgb_array"], "name": "pyflyt_tpu_ma_env"}
 
     def __init__(self, fenv, render_mode: str | None = None):
         self.fenv = fenv
         self.render_mode = render_mode
+        self.render_resolution = (480, 480)
+        self._jit_render = None
         self.possible_agents = list(fenv.possible_agents)
         self.agent_name_mapping = {
             a: i for i, a in enumerate(self.possible_agents)
@@ -106,6 +108,61 @@ class PettingZooEnv(ParallelEnv):
             a for a in self.agents if not (terminations[a] or truncations[a])
         ]
         return observations, rewards, terminations, truncations, infos
+
+    def render(self):
+        """``rgb_array`` overview render of all agents (HxWx4 uint8).
+
+        The reference MA envs render through PyBullet's visualizer
+        (ma_quadx_base_env.py render plumbing); here every alive agent is an
+        oriented body box plus whatever the env exposes via ``scene_boxes``
+        (e.g. the dogfight's hit-recolored gunsights,
+        ma_fixedwing_dogfight_env.py:383-394), ray-cast from a fixed-yaw
+        camera that tracks the agents' centroid."""
+        assert self.render_mode is not None, (
+            "Please set `render_mode='rgb_array'` to use this function."
+        )
+        from pyflyt_tpu.core import camera as cam
+        from pyflyt_tpu.core import math as pm
+
+        if self._jit_render is None:
+            half_extents = getattr(
+                self.fenv, "render_half_extents", (0.7, 1.25, 0.1)
+            )
+            n = len(self.possible_agents)
+
+            def _render(state):
+                view = state.drones.read.view  # (n, 4, 3)
+                body = cam.Boxes(
+                    centers=view[:, 3],
+                    half_extents=jnp.broadcast_to(
+                        jnp.asarray(list(half_extents)), (n, 3)
+                    ),
+                    rotations=pm.euler_to_rotmat(view[:, 1]),
+                    colors=jnp.asarray(
+                        [[0.9, 0.1, 0.1, 1.0], [0.1, 0.1, 0.9, 1.0]]
+                    )[jnp.arange(n) % 2],
+                    visible=state.alive,
+                )
+                boxes = body
+                if hasattr(self.fenv, "scene_boxes"):
+                    boxes = cam.concat_boxes(boxes, self.fenv.scene_boxes(state))
+                centroid = jnp.mean(view[:, 3], axis=0)
+                spread = jnp.max(
+                    jnp.linalg.norm(view[:, 3] - centroid, axis=-1)
+                )
+                dist = jnp.maximum(3.0 * spread, 10.0)
+                eye = centroid + jnp.stack(
+                    [-dist, 0.0 * dist, 0.6 * dist]
+                )
+                up = jnp.asarray([0.0, 0.0, 1.0])
+                origin, dirs = cam.camera_rays_tracking(
+                    eye, centroid, up, self.render_resolution, 60.0
+                )
+                rgba, _, _ = cam.render(origin, dirs, boxes)
+                return rgba
+
+            self._jit_render = jax.jit(_render)
+        return np.asarray(self._jit_render(self._state))
 
     def close(self):
         pass

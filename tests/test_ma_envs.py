@@ -235,3 +235,36 @@ def test_pz_dogfight_api_conformance():
 
     env = make_ma_fixedwing_dogfight(max_duration_seconds=2.0)
     parallel_api_test(env, num_cycles=40)
+
+
+def test_pz_render_and_gunsight_recolor():
+    """rgb_array overview render + the reference's gunsight hit recolor
+    (ma_fixedwing_dogfight_env.py:383-394: red [1,0,0,.2] while scoring a
+    hit, black [0,0,0,.2] otherwise)."""
+    env = make_ma_fixedwing_dogfight(
+        max_duration_seconds=3.0, render_mode="rgb_array"
+    )
+    env.reset(seed=2)
+    env.step({a: np.array([0.0, 0.0, 0.0, 0.8]) for a in env.agents})
+    frame = env.render()
+    assert frame.shape == (480, 480, 4) and frame.dtype == np.uint8
+
+    # scene_boxes colors flip with current_hits
+    state = env._state
+    boxes_none = env.fenv.scene_boxes(state)
+    np.testing.assert_allclose(
+        np.asarray(boxes_none.colors), [[0, 0, 0, 0.2]] * 2, atol=1e-6
+    )
+    hit_state = state.replace(current_hits=jnp.asarray([True, False]))
+    boxes_hit = env.fenv.scene_boxes(hit_state)
+    np.testing.assert_allclose(
+        np.asarray(boxes_hit.colors), [[1, 0, 0, 0.2], [0, 0, 0, 0.2]],
+        atol=1e-6,
+    )
+
+
+def test_pz_hover_render():
+    env = make_ma_quadx_hover(render_mode="rgb_array")
+    env.reset(seed=0)
+    frame = env.render()
+    assert frame.shape == (480, 480, 4) and frame.dtype == np.uint8
