@@ -410,12 +410,15 @@ def main():
     # vision task: QuadX-Gates with the on-device ray-cast FPV render
     # (core/camera.py) at the reference's 128x128 resolution
     # (quadx_gates_env.py:69-84). The render dominates: each env-step casts
-    # 128*128 rays against ~5 gates x 4 bars + ground. VERDICT r2 weak-item
-    # 6 asked for a recorded number for this path.
+    # 128*128 rays against 5 holed gate boxes (exact CSG of the 4-bar
+    # frames) + ground. Round-4 config: 64-step chunks (the old 8-step
+    # chunks measured dispatch, not render: 108K vs 297K for the same
+    # geometry) — docs/artifacts/gates_render_r4_tpu.jsonl: 392K @ 256
+    # envs, 536K @ 1024.
     from pyflyt_tpu.envs.quadx_gates import QuadXGatesEnv
 
     gates = QuadXGatesEnv()
-    g_envs, g_steps = 256, 8
+    g_envs, g_steps = 256, 64
     bench_env(
         "QuadX-Gates (128x128 raycast)", gates, g_envs, g_steps,
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.5]), (g_envs, 1)),
