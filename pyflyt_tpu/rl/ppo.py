@@ -83,6 +83,19 @@ class PPOConfig:
     # rows per kernel grid step (VMEM budget knob; must divide the
     # minibatch size after clipping)
     fused_sgd_chunk: int = 1024
+    # Time-limit bootstrap strategy. The rollout scan needs V(terminal_obs)
+    # only at truncated-not-terminated steps, and an env whose episode
+    # length exceeds rollout_steps truncates AT MOST ONCE per rollout — so
+    # instead of a per-step vf apply on the whole batch (~1/3 of the
+    # rollout's network flops, all but ~0.1% of it discarded), each env
+    # carries ONE (obs, step-index) slot through the scan and a single
+    # post-scan vf apply scatter-adds γ·V into the stored rewards. Per-row
+    # results match the in-scan apply to FMA-rounding level (same (B, obs)
+    # matmul shapes; the reward add rounds once vs twice — see
+    # tests/test_ppo.py::test_slot_bootstrap_matches_inscan).
+    # True/False force the path; None (default) auto-selects the
+    # slot when ``env.max_steps > rollout_steps`` is statically known.
+    slot_bootstrap: bool | None = None
     # minibatch-shuffle granularity: the per-epoch uniform permutation runs
     # over BLOCKS of this many consecutive samples instead of single rows.
     # TPU row-gathers pay a fixed per-row cost, so block-16 cuts the epoch
@@ -253,8 +266,15 @@ class PPO:
         return autoreset_step(self.env, env_state, action)
 
     def _rollout(self, runner: RunnerState):
-        def body(carry, _):
-            env_state, obs, key = carry
+        cfg = self.config
+        use_slot = cfg.slot_bootstrap
+        if use_slot is None:
+            max_steps = getattr(self.env, "max_steps", None)
+            use_slot = max_steps is not None and max_steps > cfg.rollout_steps
+        saw_term = [False]  # set during tracing of the scan body
+
+        def body(carry, t_idx):
+            env_state, obs, key, slot_obs, slot_t, slot_has = carry
             key, act_key = jax.random.split(key)
             action, log_prob, value = self.act(runner.params, obs, act_key)
             clipped = jnp.clip(action, self.action_low, self.action_high)
@@ -263,19 +283,28 @@ class PPO:
             # time-limit bootstrap (SB3 semantics): truncated-but-not-
             # terminated steps get γ·V(terminal_obs) folded into the reward,
             # using the pre-reset observation the autoreset paths surface.
-            # (Round 4 tried hoisting this apply out of the scan into one
-            # post-scan batched pass — identical math, but stacking the
-            # (T, B, obs) terminal observations through the scan ys cost
-            # MORE than the in-scan apply saved: 25.2 -> 34.9 ms at 8192
-            # envs, ppo_20m_r4b_tpu.jsonl stage A1. Keep it in-scan.)
+            # Slot path (PPOConfig.slot_bootstrap): stash the one possible
+            # truncation row per env and defer the vf apply past the scan.
+            # In-scan path: apply vf(term_obs) every step. (Round 4 also
+            # tried densely stacking (T, B, obs) terminal observations
+            # through the scan ys — it cost MORE than it saved: 25.2 ->
+            # 34.9 ms at 8192 envs, ppo_20m_r4b_tpu.jsonl stage A1.)
             reward = out.reward
             term_obs = out.info.get("terminal_observation")
             if term_obs is not None:
-                _, _, v_term = self.network.apply(
-                    runner.params, _flat_obs(term_obs)
-                )
+                saw_term[0] = True
                 trunc_only = out.truncation & ~out.termination
-                reward = reward + self.config.gamma * v_term * trunc_only
+                if use_slot:
+                    slot_obs = jnp.where(
+                        trunc_only[:, None], _flat_obs(term_obs), slot_obs
+                    )
+                    slot_t = jnp.where(trunc_only, t_idx, slot_t)
+                    slot_has = slot_has | trunc_only
+                else:
+                    _, _, v_term = self.network.apply(
+                        runner.params, _flat_obs(term_obs)
+                    )
+                    reward = reward + cfg.gamma * v_term * trunc_only
             t = Transition(
                 obs=obs,
                 action=action,
@@ -284,14 +313,32 @@ class PPO:
                 reward=reward,
                 done=done,
             )
-            return (env_state, _flat_obs(out.obs), key), t
+            return (
+                env_state, _flat_obs(out.obs), key, slot_obs, slot_t, slot_has
+            ), t
 
-        (env_state, obs, key), traj = jax.lax.scan(
-            body,
-            (runner.env_state, runner.obs, runner.key),
-            None,
-            length=self.config.rollout_steps,
+        n_envs = runner.obs.shape[0]
+        init = (
+            runner.env_state,
+            runner.obs,
+            runner.key,
+            jnp.zeros_like(runner.obs),
+            jnp.zeros((n_envs,), jnp.int32),
+            jnp.zeros((n_envs,), bool),
         )
+        (env_state, obs, key, slot_obs, slot_t, slot_has), traj = jax.lax.scan(
+            body, init, jnp.arange(cfg.rollout_steps, dtype=jnp.int32)
+        )
+        if use_slot and saw_term[0]:
+            # one vf apply on the gathered truncation rows; per-row
+            # results match the in-scan apply to FMA-rounding level
+            _, _, v_slot = self.network.apply(runner.params, slot_obs)
+            adj = cfg.gamma * v_slot * slot_has
+            traj = traj.replace(
+                reward=traj.reward.at[
+                    slot_t, jnp.arange(n_envs)
+                ].add(adj)
+            )
         return runner.replace(env_state=env_state, obs=obs, key=key), traj
 
     # ----------------------------------------------------------------- GAE

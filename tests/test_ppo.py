@@ -260,3 +260,35 @@ def test_average_params(tmp_path):
         np.testing.assert_allclose(
             np.asarray(m), (np.asarray(a) + np.asarray(b)) / 2.0, rtol=1e-6
         )
+
+
+def test_slot_bootstrap_matches_inscan():
+    """PPOConfig.slot_bootstrap (one deferred V(term_obs) apply on a
+    carried per-env slot) must reproduce the per-step in-scan bootstrap
+    exactly — same (B, obs) matmul shapes, same additions — across rollouts
+    that span episode boundaries (max_steps=40 > rollout_steps=32, so the
+    truncations land mid-rollout from the second iteration on)."""
+    env = QuadXHoverEnv(max_duration_seconds=1.0, agent_hz=40)
+    cfg = dataclasses.replace(
+        SMALL, rollout_steps=32, num_envs=8, num_epochs=1, num_minibatches=2
+    )
+    trajs = {}
+    for slot in (False, True):
+        ppo = PPO(env, dataclasses.replace(cfg, slot_bootstrap=slot))
+        runner = ppo.init(jax.random.PRNGKey(3))
+        roll = jax.jit(ppo._rollout)
+        it = jax.jit(ppo.train_iteration)
+        runner, _ = it(runner)  # cross the episode boundary
+        runner, traj = roll(runner)
+        trajs[slot] = traj
+    assert float(jnp.sum(trajs[False].done)) > 0  # boundaries were crossed
+    for name in ("obs", "action", "value", "log_prob", "done"):
+        a = np.asarray(getattr(trajs[False], name))
+        b = np.asarray(getattr(trajs[True], name))
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    # rewards agree to FMA-rounding level: in-scan fuses r + γ·v·mask into
+    # an FMA (one rounding), the deferred scatter-add rounds twice
+    np.testing.assert_allclose(
+        np.asarray(trajs[False].reward), np.asarray(trajs[True].reward),
+        rtol=1e-6, atol=1e-6,
+    )
