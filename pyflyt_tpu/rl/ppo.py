@@ -79,6 +79,15 @@ class PPOConfig:
     # epoch-level averaging (grad-norm clip and Adam run on local
     # gradients), a documented deviation from the global-minibatch XLA
     # path. Advantage normalization uses GLOBAL minibatch stats either way.
+    # ROUND-4 CAUTION (docs/artifacts/ppo_20m_r4f_tpu.jsonl, stage
+    # C2-3ep-fused): on real hardware a full 3B-step mode-9 training run
+    # with the fused kernel failed to solve (entropy drifts UP, log_std
+    # +0.45 over 2861 iterations) where the identical XLA recipe solves at
+    # 0.92B — despite the kernel passing f32-exact one-iteration parity
+    # (tests/test_pallas_sgd.py) and the 2-iteration Mosaic drift gate
+    # (bench_suite). Treat fused_sgd as a throughput/floor demonstration;
+    # keep the XLA epoch (the default) for real training until the
+    # hardware-lowering bias is found.
     fused_sgd: bool = False
     # rows per kernel grid step (VMEM budget knob; must divide the
     # minibatch size after clipping)
