@@ -156,6 +156,34 @@ class Transition:
     done: Array
 
 
+def _shuffle_gather(
+    packed: Array,
+    perm: Array,
+    num_blocks: int,
+    blk: int,
+    feat: int,
+    num_minibatches: int,
+    minibatch_size: int,
+) -> Array:
+    """Block-permutes the packed (batch, feat) buffer into
+    (num_minibatches, minibatch_size, feat) minibatches.
+
+    When a block is a whole number of 128-float vector registers, the
+    gather runs on a (num_blocks, blk·feat/128, 128) VIEW of the same
+    bytes: the packed buffer's natural minor dim is ``feat`` (typically
+    ~23 floats = 18% of a vreg lane set), and gathering at that shape
+    wastes ~5× of the HBM stream (measured 38-46 GB/s at a 65536-env
+    batch, docs/artifacts/ppo_20m_r4j_tpu.jsonl). The row-major reshapes
+    are bit-exact views, so both branches produce identical minibatches.
+    """
+    rows = blk * feat
+    if rows % 128 == 0:
+        g = packed.reshape((num_blocks, rows // 128, 128))[perm]
+    else:
+        g = packed.reshape((num_blocks, blk, feat))[perm]
+    return g.reshape((num_minibatches, minibatch_size, feat))
+
+
 def _flat_obs(obs: Any) -> Array:
     """Dict observations are flattened (sorted keys) for the MLP policy."""
     if isinstance(obs, dict):
@@ -499,8 +527,9 @@ class PPO:
             # ONE whole-batch BLOCK gather per epoch, then the SGD scan walks
             # contiguous minibatch slices. blk=1 is the exact SB3-style
             # per-sample permutation (see PPOConfig.shuffle_block).
-            mbs = packed.reshape((num_blocks, blk, feat))[perm].reshape(
-                (cfg.num_minibatches, cfg.minibatch_size, feat)
+            mbs = _shuffle_gather(
+                packed, perm, num_blocks, blk, feat,
+                cfg.num_minibatches, cfg.minibatch_size,
             )
 
             if fused_run is not None:
