@@ -528,6 +528,37 @@ def main():
         "value": round(ppo9f.config.batch_size / dt9f),
         "unit": "env-steps/s",
     }), flush=True)
+    del runner9f, ppo9f
+
+    # round-4 solve recipe (3 epochs x minibatch-8192/16384, lr 2e-4 —
+    # mode-9 solves at 0.67-0.92B steps, docs/artifacts/ppo_20m_r4b/
+    # r4m_tpu.jsonl) measured device-resident: 4 train iterations chained
+    # in one lax.scan dispatch, the way on-chip training runs (per-call
+    # tunnel round-trips otherwise add 10-20% noise — ppo_20m_r4l).
+    for n_envs, mbs in ((8192, 128), (32768, 256)):
+        cfgs4 = PPOConfig(num_envs=n_envs, rollout_steps=128, num_epochs=3,
+                          num_minibatches=mbs, learning_rate=2e-4,
+                          clip_eps=0.1, init_log_std=-1.6)
+        pp4 = PPO(PackedQuadXModHoveringEnv.create(
+            flight_mode=9, orn_conv="NED_FRD", control_hz=80,
+            simulate_wind=True), cfgs4)
+        rr4 = pp4.init(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def chain4(r, pp4=pp4):
+            def body(x, _):
+                x, _m = pp4.train_iteration(x)
+                return x, ()
+            return jax.lax.scan(body, r, None, length=4)[0]
+
+        dt4 = timeit(chain4, rr4) / 4
+        print(json.dumps({
+            "metric": (f"PPO train-steps/s ({n_envs} envs, r4 solve recipe "
+                       "3ep, packed rollout, chained)"),
+            "value": round(cfgs4.batch_size / dt4),
+            "unit": "env-steps/s",
+        }), flush=True)
+        del rr4, pp4
 
 
 if __name__ == "__main__":
