@@ -170,6 +170,89 @@ def leaves_to_params(leaves, params_template):
     return {"params": p}
 
 
+def build_logp_forward(
+    *,
+    obs_dim: int,
+    act_dim: int,
+    pi_sizes: tuple,
+    log_std_range,
+    feat: int,
+    chunk: int = 1024,
+    interpret: bool | None = None,
+):
+    """Policy log-prob over packed rows with EXACTLY the epoch kernel's
+    forward arithmetic (same ``_mm`` bf16 dots + f32 elementwise, Mosaic
+    lowering, same ``chunk`` row-block shapes).
+
+    Used by ``PPOConfig.fused_sgd_consistent_logp`` to REWRITE the packed
+    buffer's old_log_prob column before the epoch scan. Rationale (the
+    round-4 fused-sgd health fix): the XLA path recomputes old_logp's
+    forward with the same arithmetic it trains with, so epoch-1 ratios are
+    exp(0)=1 bit-exactly; the fused kernel's Mosaic forward differs from
+    the rollout's XLA forward by a state-correlated delta and every ratio
+    it sees carries exp(delta) rounding noise that can rival the genuine
+    per-minibatch KL (~1e-4). Recomputing old_logp with the kernel's own
+    arithmetic restores the self-consistent ratio channel. Per-row results
+    are independent of which chunk a row lands in (MXU rows don't
+    interact), so this matches the epoch kernel's forward regardless of
+    the shuffle.
+
+    Returns ``run(packed, pi_leaves) -> (n_rows,) float32`` where
+    ``packed`` is the (n_rows, feat) [obs | action | ...] buffer and
+    ``pi_leaves`` the leading policy leaves of :func:`params_to_leaves`
+    (trunk w/b pairs, head w/b, log_std).
+    """
+    if interpret is None:
+        from pyflyt_tpu.ops import pallas_math
+
+        interpret = bool(
+            getattr(pallas_math, "_FORCE_INTERPRET", False)
+            or jax.default_backend() == "cpu"
+        )
+    n_pi = len(pi_sizes)
+    n_leaves = 2 * n_pi + 3  # trunk w/b pairs + head w/b + log_std
+
+    def kern(*refs):
+        rows = refs[0][...]
+        leaves = [refs[1 + i][...] for i in range(n_leaves)]
+        o_ref = refs[1 + n_leaves]
+        x = rows[:, :obs_dim]
+        action = rows[:, obs_dim : obs_dim + act_dim]
+        a = x
+        for i in range(n_pi):
+            a = jnp.tanh(_mm(a, leaves[2 * i]) + leaves[2 * i + 1])
+        mean = _mm(a, leaves[2 * n_pi]) + leaves[2 * n_pi + 1]
+        log_std = leaves[2 * n_pi + 2]
+        if log_std_range is not None:
+            log_std = jnp.clip(log_std, *log_std_range)
+        var = jnp.exp(2.0 * log_std)
+        diff = action - mean
+        lp = -0.5 * (diff * diff / var + 2.0 * log_std + _LOG2PI)
+        logp = jnp.sum(lp, axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        o_ref[...] = jnp.where(lane == 0, logp, 0.0)
+
+    def run(packed, pi_leaves):
+        n_rows = packed.shape[0]
+        assert n_rows % chunk == 0, (n_rows, chunk)
+        shapes = [lv.shape for lv in pi_leaves]
+        const = lambda ck: (0, 0)  # noqa: E731
+        out = pl.pallas_call(
+            kern,
+            grid=(n_rows // chunk,),
+            in_specs=[
+                pl.BlockSpec((chunk, feat), lambda ck: (ck, 0)),
+                *[pl.BlockSpec(s, const) for s in shapes],
+            ],
+            out_specs=pl.BlockSpec((chunk, 128), lambda ck: (ck, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
+            interpret=interpret,
+        )(packed, *pi_leaves)
+        return out[:, 0]
+
+    return run
+
+
 def build_fused_epoch(
     *,
     obs_dim: int,

@@ -92,6 +92,18 @@ class PPOConfig:
     # rows per kernel grid step (VMEM budget knob; must divide the
     # minibatch size after clipping)
     fused_sgd_chunk: int = 1024
+    # Rewrite the packed buffer's old_log_prob column with the epoch
+    # kernel's OWN forward arithmetic before the epoch scan (one
+    # forward-only pallas pass over the batch, ops/pallas_sgd.py
+    # build_logp_forward). This is the round-4 fix for the training-health
+    # caution above: the XLA path recomputes old_logp's forward with the
+    # same arithmetic it trains with (epoch-1 ratios == 1 bit-exactly),
+    # while the fused kernel trained against the rollout's XLA-forward
+    # logp — on real Mosaic lowering the two forwards differ by a
+    # state-correlated delta and every ratio carried exp(delta) rounding
+    # noise rivaling the genuine per-minibatch KL. Costs ~1 batch forward
+    # (~5% of a 3-epoch SGD phase). Only consulted when fused_sgd=True.
+    fused_sgd_consistent_logp: bool = True
     # Time-limit bootstrap strategy. The rollout scan needs V(terminal_obs)
     # only at truncated-not-terminated steps, and an env whose episode
     # length exceeds rollout_steps truncates AT MOST ONCE per rollout — so
@@ -518,6 +530,48 @@ class PPO:
                 max_grad_norm=cfg.max_grad_norm,
                 chunk=min(cfg.fused_sgd_chunk, local_mb),
             )
+            if cfg.fused_sgd_consistent_logp:
+                # self-consistent ratio channel: old_logp from the SAME
+                # kernel arithmetic the epochs train with (see the
+                # PPOConfig field's docstring)
+                pi_sz = tuple(cfg.feature_sizes) + tuple(cfg.pi_sizes)
+                logp_fwd = pallas_sgd.build_logp_forward(
+                    obs_dim=obs_dim,
+                    act_dim=act_dim,
+                    pi_sizes=pi_sz,
+                    log_std_range=cfg.log_std_range,
+                    feat=feat,
+                    chunk=min(cfg.fused_sgd_chunk, local_mb),
+                )
+                pi_leaves = tuple(
+                    pallas_sgd.params_to_leaves(runner.params)[
+                        : 2 * len(pi_sz) + 3
+                    ]
+                )
+                if self.mesh is not None:
+                    from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    try:
+                        lp_smap = shard_map(
+                            logp_fwd,
+                            mesh=self.mesh,
+                            in_specs=(P("env"), P()),
+                            out_specs=P("env"),
+                            check_vma=False,
+                        )
+                    except TypeError:  # older JAX: the flag was check_rep
+                        lp_smap = shard_map(
+                            logp_fwd,
+                            mesh=self.mesh,
+                            in_specs=(P("env"), P()),
+                            out_specs=P("env"),
+                            check_rep=False,
+                        )
+                    new_lp = lp_smap(packed, pi_leaves)
+                else:
+                    new_lp = logp_fwd(packed, pi_leaves)
+                packed = packed.at[:, obs_dim + act_dim].set(new_lp)
 
         def epoch(carry, _):
             params, opt_state, key = carry

@@ -138,6 +138,92 @@ def test_fused_epoch_log_std_clamp_and_heads():
         )
 
 
+def test_logp_forward_matches_network(monkeypatch):
+    """build_logp_forward == the XLA network logp when its matmuls run f32
+    (isolates the non-matmul forward math); bf16-cast default stays within
+    truncation tolerance."""
+    from pyflyt_tpu.ops import pallas_sgd
+    from pyflyt_tpu.rl.networks import gaussian_log_prob
+
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), CFG)
+    runner = ppo.init(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+    n = 256
+    obs = jax.random.normal(key, (n, runner.obs.shape[-1]))
+    action = jax.random.normal(jax.random.fold_in(key, 1), (n, 4))
+    mean, log_std, _ = ppo.network.apply(runner.params, obs)
+    want = gaussian_log_prob(mean, log_std, action)
+
+    pi_sz = tuple(CFG.feature_sizes) + tuple(CFG.pi_sizes)
+    leaves = pallas_sgd.params_to_leaves(runner.params)[: 2 * len(pi_sz) + 3]
+    packed = jnp.concatenate([obs, action], axis=1)
+
+    def run():
+        fwd = pallas_sgd.build_logp_forward(
+            obs_dim=obs.shape[-1], act_dim=4, pi_sizes=pi_sz,
+            log_std_range=CFG.log_std_range, feat=packed.shape[-1],
+            chunk=128,
+        )
+        return fwd(packed, leaves)
+
+    # default bf16-cast arithmetic: truncation-scale agreement
+    np.testing.assert_allclose(
+        np.asarray(run()), np.asarray(want), rtol=5e-2, atol=5e-2
+    )
+
+    def mm32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    monkeypatch.setattr(pallas_sgd, "_mm", mm32)
+    np.testing.assert_allclose(
+        np.asarray(run()), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_consistent_logp_noop_with_f32_matmuls(monkeypatch):
+    """With f32 kernel matmuls the rewrite recomputes bit-identical logp on
+    CPU, so fused_sgd_consistent_logp True/False give identical params."""
+    from pyflyt_tpu.ops import pallas_sgd
+
+    def mm32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm32_tn(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def mm32_nt(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    monkeypatch.setattr(pallas_sgd, "_mm", mm32)
+    monkeypatch.setattr(pallas_sgd, "_mm_tn", mm32_tn)
+    monkeypatch.setattr(pallas_sgd, "_mm_nt", mm32_nt)
+
+    cfg_on = dataclasses.replace(
+        CFG, fused_sgd=True, fused_sgd_consistent_logp=True
+    )
+    cfg_off = dataclasses.replace(
+        CFG, fused_sgd=True, fused_sgd_consistent_logp=False
+    )
+    r_on, _ = _run_iteration(cfg_on)
+    r_off, _ = _run_iteration(cfg_off)
+    for a, b in zip(
+        jax.tree.leaves(r_on.params), jax.tree.leaves(r_off.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_fused_epoch_learning_sanity():
     """The fused path actually learns (loss finite, params move, reward
     improves over a short run like the XLA-path sanity check)."""
