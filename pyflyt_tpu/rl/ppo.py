@@ -104,6 +104,15 @@ class PPOConfig:
     # noise rivaling the genuine per-minibatch KL. Costs ~1 batch forward
     # (~5% of a 3-epoch SGD phase). Only consulted when fused_sgd=True.
     fused_sgd_consistent_logp: bool = True
+    # Run the rollout's policy/value forward as ONE Mosaic kernel
+    # (ops/pallas_policy.py): MLP weights and trunk activations stay
+    # VMEM-resident, cutting the forward's HBM traffic from ~4.3 KB to
+    # ~88 B per env-step — the rollout phase is activation-bandwidth-bound
+    # at large batches (docs/PERF.md round-4 section). Same bf16-matmul/
+    # f32-accumulate arithmetic as the XLA forward (measured bit-identical
+    # on v5e, ppo_20m_r4n_tpu.jsonl stage B0). Opt-in; the exact
+    # network.apply path stays the default.
+    fused_rollout_forward: bool = False
     # Time-limit bootstrap strategy. The rollout scan needs V(terminal_obs)
     # only at truncated-not-terminated steps, and an env whose episode
     # length exceeds rollout_steps truncates AT MOST ONCE per rollout — so
@@ -285,10 +294,34 @@ class PPO:
         )
 
     # ------------------------------------------------------------- policies
+    def _apply_policy(self, params: Any, obs: Array):
+        """network.apply, or the fused Mosaic forward when
+        PPOConfig.fused_rollout_forward is set (same (mean, log_std,
+        value) contract; log_std read/clipped from the params tree)."""
+        if not self.config.fused_rollout_forward:
+            return self.network.apply(params, obs)
+        from pyflyt_tpu.ops import pallas_policy, pallas_sgd
+
+        if getattr(self, "_pvf_run", None) is None:
+            self._pvf_run = pallas_policy.build_policy_value_forward(
+                obs_dim=int(obs.shape[-1]),
+                act_dim=self.action_dim,
+                pi_sizes=tuple(self.config.feature_sizes)
+                + tuple(self.config.pi_sizes),
+                vf_sizes=tuple(self.config.feature_sizes)
+                + tuple(self.config.vf_sizes),
+            )
+        leaves = pallas_sgd.params_to_leaves(params)
+        mean, value = self._pvf_run(obs, leaves)
+        log_std = params["params"]["log_std"]
+        if self.config.log_std_range is not None:
+            log_std = jnp.clip(log_std, *self.config.log_std_range)
+        return mean, jnp.broadcast_to(log_std, mean.shape), value
+
     def act(self, params: Any, obs: Array, key: Array) -> tuple[Array, Array, Array]:
         """Sample (action, log_prob, value); actions clipped to bounds at the
         env boundary (SB3 semantics: log-prob of the unclipped sample)."""
-        mean, log_std, value = self.network.apply(params, obs)
+        mean, log_std, value = self._apply_policy(params, obs)
         noise = jax.random.normal(key, mean.shape, mean.dtype)
         action = mean + jnp.exp(log_std) * noise
         log_prob = gaussian_log_prob(mean, log_std, action)

@@ -73,6 +73,11 @@ def train(
             "(rows, 8, N/8) state does not shard over an ('env',) mesh — use "
             "the XLA env with use_mesh, or drop use_mesh"
         )
+        assert not ppo.config.fused_rollout_forward, (
+            "fused_rollout_forward is single-chip (the pallas forward "
+            "doesn't partition under jit) — use the XLA forward with "
+            "use_mesh, or drop use_mesh"
+        )
         devices = np.array(jax.devices())
         mesh = Mesh(devices, ("env",))
         assert ppo.config.num_envs % len(devices) == 0

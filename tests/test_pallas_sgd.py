@@ -224,6 +224,82 @@ def test_consistent_logp_noop_with_f32_matmuls(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_policy_forward_matches_network(monkeypatch):
+    """ops/pallas_policy.build_policy_value_forward == network.apply:
+    f32-matmul exact; default bf16-cast at truncation tolerance."""
+    from pyflyt_tpu.ops import pallas_policy, pallas_sgd
+
+    cfg = dataclasses.replace(CFG, pi_sizes=(16,), vf_sizes=(16, 8))
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+    runner = ppo.init(jax.random.PRNGKey(5))
+    obs = jax.random.normal(jax.random.PRNGKey(6), (256, runner.obs.shape[-1]))
+    mean_w, _, val_w = ppo.network.apply(runner.params, obs)
+
+    def run():
+        fwd = pallas_policy.build_policy_value_forward(
+            obs_dim=obs.shape[-1], act_dim=4,
+            pi_sizes=tuple(cfg.feature_sizes) + tuple(cfg.pi_sizes),
+            vf_sizes=tuple(cfg.feature_sizes) + tuple(cfg.vf_sizes),
+            chunk=128,
+        )
+        return fwd(obs, pallas_sgd.params_to_leaves(runner.params))
+
+    mean, val = run()
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(mean_w), rtol=5e-2, atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(val), np.asarray(val_w), rtol=5e-2, atol=5e-1
+    )
+
+    def mm32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    monkeypatch.setattr(pallas_sgd, "_mm", mm32)
+    monkeypatch.setattr(pallas_policy, "_mm", mm32)
+    mean, val = run()
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(mean_w), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(val), np.asarray(val_w), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_fused_rollout_forward_exact_with_f32_matmuls(monkeypatch):
+    """With f32 kernel matmuls the fused-forward rollout reproduces the XLA
+    rollout exactly (same keys -> same actions/log_probs/values)."""
+    from pyflyt_tpu.ops import pallas_policy, pallas_sgd
+
+    def mm32(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    monkeypatch.setattr(pallas_sgd, "_mm", mm32)
+    monkeypatch.setattr(pallas_policy, "_mm", mm32)
+
+    def rollout(flag):
+        cfg = dataclasses.replace(CFG, fused_rollout_forward=flag)
+        ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+        runner = ppo.init(jax.random.PRNGKey(0))
+        _, traj = jax.jit(ppo._rollout)(runner)
+        return traj
+
+    t_x = rollout(False)
+    t_f = rollout(True)
+    for name in ("action", "log_prob", "value", "reward"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(t_x, name)),
+            np.asarray(getattr(t_f, name)),
+            rtol=1e-5, atol=1e-5, err_msg=name,
+        )
+
+
 def test_fused_epoch_learning_sanity():
     """The fused path actually learns (loss finite, params move, reward
     improves over a short run like the XLA-path sanity check)."""
