@@ -224,6 +224,7 @@ class PPO:
         action_low: Array | None = None,
         action_high: Array | None = None,
         mesh=None,
+        network=None,
     ):
         self.env = env
         self.config = config
@@ -235,7 +236,11 @@ class PPO:
         self.action_low = jnp.asarray(low if action_low is None else action_low)
         self.action_high = jnp.asarray(high if action_high is None else action_high)
         self.action_dim = int(self.action_low.shape[-1])
-        self.network = ActorCritic(
+        # custom policy module (e.g. networks.VisionActorCritic for the
+        # image-observation Gates task); must keep ActorCritic's
+        # (mean, log_std, value) apply contract. The fused MLP kernels
+        # assume the stock parameter tree — guard below.
+        self.network = network or ActorCritic(
             action_dim=self.action_dim,
             feature_sizes=config.feature_sizes,
             pi_sizes=config.pi_sizes,
@@ -244,6 +249,11 @@ class PPO:
             log_std_range=config.log_std_range,
             dtype=jnp.dtype(config.compute_dtype),
         )
+        if network is not None:
+            assert not (config.fused_sgd or config.fused_rollout_forward), (
+                "fused_sgd / fused_rollout_forward hand-implement the stock "
+                "ActorCritic MLP; use the XLA paths with a custom network"
+            )
         # optax.flatten: run clip+Adam on ONE concatenated vector instead of
         # ~12 per-tensor elementwise chains. Mathematically identical
         # (both transforms are elementwise / whole-tree norms), but on TPU

@@ -214,6 +214,52 @@ def test_gym_rgb_array_render():
         env.close()
 
 
+def test_vision_ppo_trains_on_gates():
+    """End-to-end vision RL: PPO with networks.VisionActorCritic consumes
+    the Gates env's dict obs (attitude + rgba_cam + target_deltas) through
+    the standard _flat_obs path — finite losses, params move."""
+    from pyflyt_tpu.rl.networks import VisionActorCritic
+    from pyflyt_tpu.rl.ppo import PPO, PPOConfig
+
+    env = QuadXGatesEnv(camera_resolution=(16, 16), num_targets=3)
+    cfg = PPOConfig(
+        num_envs=4, rollout_steps=8, num_epochs=1, num_minibatches=2,
+        learning_rate=3e-4, init_log_std=-0.5,
+    )
+    net = VisionActorCritic(
+        action_dim=4,
+        image_offset=env.combined_size,
+        image_shape=(4, 16, 16),
+        conv_features=(8, 16),
+        feature_sizes=(32,),
+        init_log_std=-0.5,
+    )
+    ppo = PPO(env, cfg, network=net)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    it = jax.jit(ppo.train_iteration)
+    before = jax.tree.leaves(runner.params)[0].copy()
+    for _ in range(2):
+        runner, m = it(runner)
+        assert np.isfinite(float(m["loss"]))
+    after = jax.tree.leaves(runner.params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_vision_net_fused_paths_guarded():
+    """Custom networks must refuse the MLP-specific fused fast paths."""
+    import pytest
+
+    from pyflyt_tpu.rl.networks import VisionActorCritic
+    from pyflyt_tpu.rl.ppo import PPO, PPOConfig
+
+    env = QuadXGatesEnv(camera_resolution=(16, 16), num_targets=3)
+    net = VisionActorCritic(
+        action_dim=4, image_offset=env.combined_size, image_shape=(4, 16, 16)
+    )
+    with pytest.raises(AssertionError):
+        PPO(env, PPOConfig(fused_sgd=True), network=net)
+
+
 def test_tracking_camera():
     """is_tracking_camera parity (reference camera.py:86,105-137): the eye
     is displaced by the link-frame offset and the view re-aims at the
