@@ -491,6 +491,32 @@ def main():
                       "unit": "ok", "max_abs_param_diff": max_abs}),
           flush=True)
 
+    # fused policy/value rollout forward (ops/pallas_policy.py): Mosaic
+    # parity vs network.apply on the same obs batch (round-4; probe r4n
+    # measured the bf16 forwards bit-identical on v5e — gate at loose
+    # truncation tolerance anyway)
+    from pyflyt_tpu.ops import pallas_policy as _pp
+    from pyflyt_tpu.ops import pallas_sgd as _ps
+
+    ppv = PPO(envp, cfgp)
+    rrv = ppv.init(jax.random.PRNGKey(1))
+    obs_v = jax.random.normal(
+        jax.random.PRNGKey(2), (2048, rrv.obs.shape[-1]), jnp.float32
+    )
+    mean_w, _, val_w = jax.jit(ppv.network.apply)(rrv.params, obs_v)
+    fwd_v = _pp.build_policy_value_forward(
+        obs_dim=int(obs_v.shape[-1]), act_dim=4,
+        pi_sizes=tuple(cfgp.feature_sizes), vf_sizes=tuple(cfgp.feature_sizes),
+    )
+    mean_k, val_k = fwd_v(obs_v, _ps.params_to_leaves(rrv.params))
+    dm = float(_np.max(_np.abs(_np.asarray(mean_k) - _np.asarray(mean_w))))
+    dv = float(_np.max(_np.abs(_np.asarray(val_k) - _np.asarray(val_w))))
+    assert dm < 2e-3 and dv < 2e-2, f"policy-forward drift {dm}/{dv}"
+    print(json.dumps({"metric": "fused-policy-forward mosaic-parity",
+                      "value": 1, "unit": "ok", "max_abs_mean_diff": dm,
+                      "max_abs_value_diff": dv}), flush=True)
+    del ppv, rrv
+
     # the same recipe with the packed native-batch rollout (the mod-hovering
     # physics in the folded kernel layout; rl/ppo.py native_batch) — the
     # round-3 headline learner path: 8.09M env-steps/s on v5e
