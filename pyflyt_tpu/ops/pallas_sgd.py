@@ -234,19 +234,32 @@ def build_logp_forward(
 
     def run(packed, pi_leaves):
         n_rows = packed.shape[0]
-        assert n_rows % chunk == 0, (n_rows, chunk)
+        # forward-only => no grad/moment residents; use a big chunk so the
+        # whole-batch pass is a few grid steps, not ~1000 launch-bound ones
+        # (probe r4o measured the 1024-chunk rewrite at ~9 ms/iteration on
+        # a 1M-row batch — ~12% of the whole train iteration)
+        ck = chunk
+        while n_rows % ck != 0:
+            ck //= 2
+        ck = max(ck, 1)
         shapes = [lv.shape for lv in pi_leaves]
-        const = lambda ck: (0, 0)  # noqa: E731
+        const = lambda g: (0, 0)  # noqa: E731
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
         out = pl.pallas_call(
             kern,
-            grid=(n_rows // chunk,),
+            grid=(n_rows // ck,),
             in_specs=[
-                pl.BlockSpec((chunk, feat), lambda ck: (ck, 0)),
+                pl.BlockSpec((ck, feat), lambda g: (g, 0)),
                 *[pl.BlockSpec(s, const) for s in shapes],
             ],
-            out_specs=pl.BlockSpec((chunk, 128), lambda ck: (ck, 0)),
+            out_specs=pl.BlockSpec((ck, 128), lambda g: (g, 0)),
             out_shape=jax.ShapeDtypeStruct((n_rows, 128), jnp.float32),
             interpret=interpret,
+            **kwargs,
         )(packed, *pi_leaves)
         return out[:, 0]
 

@@ -584,7 +584,7 @@ class PPO:
                     pi_sizes=pi_sz,
                     log_std_range=cfg.log_std_range,
                     feat=feat,
-                    chunk=min(cfg.fused_sgd_chunk, local_mb),
+                    chunk=8192,  # forward-only: big chunks, few launches
                 )
                 pi_leaves = tuple(
                     pallas_sgd.params_to_leaves(runner.params)[
