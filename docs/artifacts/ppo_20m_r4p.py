@@ -1,34 +1,26 @@
-"""Round-4 PPO >=20M part P: the fused kernel on the 32K solve config.
+"""Round-4 PPO >=20M part P: the fused ROLLOUT forward on the 32K config.
 
-Contingent on probe O downgrading the fused-SGD health caution (seed
-variance, not a Mosaic pathology). The r4m curve-backed headline is
-19.35M env-steps/s at (32768 envs, 3ep x 256mb, lr 2e-4) with the XLA
-epoch; probe D measured the fused epoch kernel +4% at the 8192 solve
-recipe. If that margin holds at 32K the fused path crosses the 20M bar
-VERDICT round 3 set — with solve curves, not just throughput.
+The r4m curve-backed headline is 19.35M env-steps/s at (32768 envs,
+3ep x 256mb, lr 2e-4) with the XLA epoch — ~55 ms of the ~217 ms
+iteration is rollout, and most of the rollout's non-env-kernel time is
+the policy forward's (B, 256) trunk-activation HBM round-trips. The
+fused policy/value forward (ops/pallas_policy.py) keeps weights and
+activations VMEM-resident and — per probe r4n — computes the SAME bits
+as the XLA forward on v5e, so composing it with the exact XLA SGD epoch
+changes throughput, not training semantics. The fused SGD kernel is NOT
+part of this config: probe O/Q measured its solve-rate deficit (1/6 vs
+XLA 2/2 at the 8192 recipe).
 
-  A  — chained (4x) device-resident timing at (32768, 3ep x 256mb,
-       fused_sgd + consistent_logp).
-  A2 — same + compute_dtype=bfloat16. Rationale: at 32K the rollout is
-       plausibly HBM-activation-bound (f32 (B,256) trunk activations);
-       r4c's "bf16 buys nothing" verdict was measured on the XLA-epoch
-       path at 8192 where the SGD phase hides any rollout gain. With
-       fused_sgd the XLA loss path never runs, so compute_dtype only
-       halves ROLLOUT activation traffic; the kernel's SGD math is
-       unchanged (bf16-matmul/f32-elementwise either way) and
-       consistent_logp absorbs the rollout-vs-kernel forward delta by
-       construction.
-  A3 — A + fused_rollout_forward (ops/pallas_policy.py): the rollout's
-       policy forward as one VMEM-resident Mosaic kernel — removes the
-       (B, 256) trunk-activation HBM round-trips the XLA forward pays
-       (the other, bigger half of the same bandwidth story as A2).
-  B  — 2-seed mode-9 solve curves (bar eval >= 24000, 4B budget) at the
-       fastest of A/A2/A3.
+  A1 — chained (4x) device-resident timing: fused_rollout_forward +
+       XLA epochs, f32.
+  A2 — same with fused_sgd too (throughput reference only).
+  B  — 2-seed mode-9 solve curves (bar eval >= 24000, 4B budget) at A1.
 
 Run (holds the TPU):
-    timeout 7200 python docs/artifacts/ppo_20m_r4p.py
+    timeout 9000 python docs/artifacts/ppo_20m_r4p.py
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -61,12 +53,9 @@ def emit(row):
     print(json.dumps(row)[:500], flush=True)
 
 
-import dataclasses  # noqa: E402
-
 CFG = PPOConfig(num_envs=32768, rollout_steps=128, num_epochs=3,
                 num_minibatches=256, learning_rate=2e-4, clip_eps=0.1,
-                init_log_std=-1.6, fused_sgd=True)
-CFG_BF16 = dataclasses.replace(CFG, compute_dtype="bfloat16")
+                init_log_std=-1.6, fused_rollout_forward=True)
 
 
 def time_chained(stage, cfg):
@@ -93,33 +82,31 @@ def time_chained(stage, cfg):
     del runner, ppo, out
     sps = round(cfg.batch_size * 4 / med)
     emit({"stage": stage, "num_envs": 32768, "minibatches": 256, "chain": 4,
-          "fused_sgd": True, "consistent_logp": True,
-          "compute_dtype": cfg.compute_dtype,
           "fused_rollout_forward": cfg.fused_rollout_forward,
+          "fused_sgd": cfg.fused_sgd,
           "ms_per_iter_median": round(med / 4 * 1e3, 2),
           "env_steps_per_s_median": sps,
           "env_steps_per_s_best": round(cfg.batch_size * 4 / ts[0])})
     return sps
 
 
-CFG_RK = dataclasses.replace(CFG, fused_rollout_forward=True)
-results = [(time_chained("A", CFG), CFG),
-           (time_chained("A2", CFG_BF16), CFG_BF16),
-           (time_chained("A3", CFG_RK), CFG_RK)]
-CFG = max(results, key=lambda t: t[0])[1]
+time_chained("A1", CFG)
+time_chained("A2", dataclasses.replace(CFG, fused_sgd=True))
 
 
-# ---- stage B: 2-seed solve curves -------------------------------------------
+# ---- stage B: 2-seed solve curves at A1 -------------------------------------
 def curve(seed, budget=4_000_000_000):
     ppo = PPO(PackedQuadXModHoveringEnv.create(**ENV_KW), CFG)
     rows = []
 
     def on_metrics(u, row):
         rows.append(row)
-        print(f"s{seed}", json.dumps(
-            {k: round(v, 1) for k, v in row.items()
-             if k in ("update", "env_steps", "steps_per_s", "entropy",
-                      "eval_mean_reward", "eval_mean_length")}), flush=True)
+        if len(rows) % 4 == 1:
+            print(f"s{seed}", json.dumps(
+                {k: round(v, 1) for k, v in row.items()
+                 if k in ("update", "env_steps", "steps_per_s", "entropy",
+                          "eval_mean_reward", "eval_mean_length")}),
+                flush=True)
 
     t0 = time.time()
     train(ppo, TrainConfig(
@@ -129,9 +116,8 @@ def curve(seed, budget=4_000_000_000):
     solved = [r for r in rows if r["eval_mean_reward"] >= BAR]
     emit({"stage": "B", "seed": seed,
           "recipe": {"num_envs": 32768, "epochs": 3, "minibatches": 256,
-                     "lr": CFG.learning_rate, "fused_sgd": True,
-                     "compute_dtype": CFG.compute_dtype,
-                     "fused_rollout_forward": CFG.fused_rollout_forward},
+                     "lr": CFG.learning_rate,
+                     "fused_rollout_forward": True, "sgd": "xla"},
           "train_wall_s": round(time.time() - t0),
           "steps_per_s": rows[-1]["steps_per_s"] if rows else None,
           "solved_at_env_steps": solved[0]["env_steps"] if solved else None,
