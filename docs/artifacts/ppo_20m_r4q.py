@@ -22,6 +22,16 @@ for the solve-rate gap:
       0,2: if these solve where O's bf16-backward failed, (2) is the
       story and an f32-dgrad training-grade kernel mode is the fix.
 
+POST-HOC NOTE (result): arm X went 1/3 — seeds 3,4 fail with EXACTLY the
+C2 signature (entropy climbing to +1.4/+1.6, reward plateau ~-85) in the
+pure XLA path, so the failure mode is recipe-inherent and the fused-vs-XLA
+tallies (1/6 vs 3/5, Fisher p~0.24) establish no kernel pathology. Arm K
+turned out to be a NO-OP on the MXU: a f32 `dot_general` under DEFAULT
+precision truncates inputs to bf16 exactly like the explicit cast
+(`precision=HIGHEST` would be needed), and both arm-K runs reproduced
+probe r4o's ON-arm runs BIT-IDENTICALLY from independent processes —
+which is itself the round's determinism evidence.
+
 Run (holds the TPU):
     timeout 7200 python docs/artifacts/ppo_20m_r4q.py
 """

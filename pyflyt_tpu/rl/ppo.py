@@ -79,15 +79,21 @@ class PPOConfig:
     # epoch-level averaging (grad-norm clip and Adam run on local
     # gradients), a documented deviation from the global-minibatch XLA
     # path. Advantage normalization uses GLOBAL minibatch stats either way.
-    # ROUND-4 CAUTION (docs/artifacts/ppo_20m_r4f_tpu.jsonl, stage
-    # C2-3ep-fused): on real hardware a full 3B-step mode-9 training run
-    # with the fused kernel failed to solve (entropy drifts UP, log_std
-    # +0.45 over 2861 iterations) where the identical XLA recipe solves at
-    # 0.92B — despite the kernel passing f32-exact one-iteration parity
-    # (tests/test_pallas_sgd.py) and the 2-iteration Mosaic drift gate
-    # (bench_suite). Treat fused_sgd as a throughput/floor demonstration;
-    # keep the XLA epoch (the default) for real training until the
-    # hardware-lowering bias is found.
+    # ROUND-4 TRAINING-HEALTH NOTE (probes r4f C2 / r4n / r4o / r4q): a
+    # first failed fused 3B run looked like a Mosaic-lowering bias, but
+    # controlled measurement dissolved that: Mosaic tanh/exp are
+    # bit-identical to XLA on v5e, the kernel's forward logp matches the
+    # rollout's stored logp to 4e-8 mean-abs, and a 200-update ghost A/B
+    # shows only zero-mean ~0.5-1%-of-update-norm divergence (bf16
+    # backward-matmul rounding) with no cumulative log_std drift
+    # (ppo_20m_r4n_tpu.jsonl). The failure signature (entropy climbing
+    # through 0 while reward plateaus at ~-88) reproduces in the PURE XLA
+    # path: fresh-seed base rate at the 8192-env 3ep recipe is 3/5 XLA vs
+    # 1/6 fused (r4q; Fisher p~0.24, not significant) — the mode-9
+    # breakout at that recipe is a coin flip for both paths. The 32K-env
+    # solve recipe (r4m) is the robust one. fused_sgd remains opt-in
+    # because the XLA epoch is the exact-semantics reference, not because
+    # a kernel pathology was established.
     fused_sgd: bool = False
     # rows per kernel grid step (VMEM budget knob; must divide the
     # minibatch size after clipping)
