@@ -91,6 +91,15 @@ def build_policy_value_forward(
         ck = min(chunk, n)
         assert n % ck == 0, (n, ck)
         const = lambda g: (0, 0)  # noqa: E731
+        kwargs = {}
+        if not interpret:
+            from jax.experimental.pallas import tpu as pltpu
+
+            # big chunks carry several (chunk, 256) f32 activations live
+            # at once — raise the 16MB default scoped-vmem budget
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            )
         mean, value = pl.pallas_call(
             kern,
             grid=(n // ck,),
@@ -107,6 +116,7 @@ def build_policy_value_forward(
                 jax.ShapeDtypeStruct((n, 1), jnp.float32),
             ],
             interpret=interpret,
+            **kwargs,
         )(obs, *leaves)
         return mean, value[:, 0]
 

@@ -119,6 +119,11 @@ class PPOConfig:
     # on v5e, ppo_20m_r4n_tpu.jsonl stage B0). Opt-in; the exact
     # network.apply path stays the default.
     fused_rollout_forward: bool = False
+    # rows per grid step of the fused rollout forward (MXU-efficiency /
+    # VMEM knob; probe r4r measured the 2048-chunk kernel LOSING to XLA's
+    # big-M matmul scheduling at 32K envs — bigger chunks amortize the
+    # per-chunk serial matmul+tanh chain)
+    fused_rollout_chunk: int = 2048
     # Time-limit bootstrap strategy. The rollout scan needs V(terminal_obs)
     # only at truncated-not-terminated steps, and an env whose episode
     # length exceeds rollout_steps truncates AT MOST ONCE per rollout — so
@@ -326,6 +331,7 @@ class PPO:
                 + tuple(self.config.pi_sizes),
                 vf_sizes=tuple(self.config.feature_sizes)
                 + tuple(self.config.vf_sizes),
+                chunk=self.config.fused_rollout_chunk,
             )
         leaves = pallas_sgd.params_to_leaves(params)
         mean, value = self._pvf_run(obs, leaves)
