@@ -32,6 +32,7 @@ _KERNEL_PARITY_FILES = {
     "test_pallas_fixedwing.py",
     "test_pallas_rocket.py",
     "test_pallas_dogfight.py",
+    "test_selfplay_dogfight.py",
     "test_pallas_sgd.py",
     "test_packed_hover.py",
     "test_packed_waypoints.py",
