@@ -113,45 +113,61 @@ def evaluate_versus(env, apply_a, apply_b, key, num_matches):
         st, obs = penv.reset(keys)
 
         def body(carry, _):
-            st, obs, done, health_end = carry
+            st, obs, done, health_end, dead_end = carry
             act = jnp.stack(
                 [apply_a(obs[:, 0]), apply_b(obs[:, 1])], axis=1
             )
             st, out = penv.step(st, act)
             own_done = out.termination | out.truncation
             now = jnp.any(own_done, axis=1)
+            fresh = (now & ~done)[:, None]
             healths = out.info["healths"][:, 0, :]  # (N, 2)
-            health_end = jnp.where(
-                (now & ~done)[:, None], healths, health_end
+            health_end = jnp.where(fresh, healths, health_end)
+            # who actually DIED: shot down, collided, or flew out of the
+            # dome. NOT the termination flag — the env terminates the
+            # SURVIVOR via other_dead when its opponent's health empties
+            # (ma_fixedwing_dogfight.py:357), which would invert the score
+            dead_now = (
+                (healths <= 0.0)
+                | out.info["collision"]
+                | out.info["out_of_bounds"]
             )
-            return (st, out.obs, done | now, health_end), None
+            dead_end = jnp.where(fresh, dead_now, dead_end)
+            return (st, out.obs, done | now, health_end, dead_end), None
 
         init = (
             st,
             obs,
             jnp.zeros(num_matches, bool),
-            jnp.full((num_matches, 2), jnp.nan),
+            jnp.ones((num_matches, 2)),
+            jnp.zeros((num_matches, 2), bool),
         )
-        (st, obs, done, health_end), _ = jax.lax.scan(
+        (st, obs, done, health_end, dead_end), _ = jax.lax.scan(
             body, init, None, length=env.max_steps + 2
         )
-        return done, health_end
+        return done, health_end, dead_end
 
-    done, health_end = run(keys)
+    done, health_end, dead_end = run(keys)
     done = np.asarray(done)
     h = np.asarray(health_end)
-    finished = done
+    dead = np.asarray(dead_end)
     margin = h[:, 0] - h[:, 1]
-    wins = (margin > 1e-6) & finished
-    losses = (margin < -1e-6) & finished
-    n = max(int(finished.sum()), 1)
+    # primary: who died at match end; health margin breaks survivor ties
+    wins = (dead[:, 1] & ~dead[:, 0]) | (
+        (dead[:, 1] == dead[:, 0]) & (margin > 1e-6)
+    )
+    losses = (dead[:, 0] & ~dead[:, 1]) | (
+        (dead[:, 0] == dead[:, 1]) & (margin < -1e-6)
+    )
     return {
         "matches": int(num_matches),
-        "finished": int(finished.sum()),
-        "win_rate_a": float(wins.sum() / n),
-        "loss_rate_a": float(losses.sum() / n),
-        "draw_rate": float(((~wins & ~losses) & finished).sum() / n),
-        "mean_health_margin_a": float(np.nanmean(margin)),
+        "finished": int(done.sum()),
+        "win_rate_a": float(wins.mean()),
+        "loss_rate_a": float(losses.mean()),
+        "draw_rate": float((~wins & ~losses).mean()),
+        "mean_health_margin_a": float(np.mean(margin)),
+        "a_died": int(dead[:, 0].sum()),
+        "b_died": int(dead[:, 1].sum()),
     }
 
 
