@@ -27,8 +27,10 @@ Mapping (B = 2·N agent rows over N arenas, arena-major pairs):
 PPO notes: use ``PPOConfig(slot_bootstrap=False)`` — arenas can end and
 reset several times inside one rollout (early policies crash/flee within
 seconds), which violates the slot path's one-truncation-per-rollout
-invariant — and ``cached_reset_refresh=0`` (resets here are arena-level
-and exact).
+invariant. ``cached_reset_refresh>0`` selects the amortized arena-spawn
+pool (``cached_autoreset_init/step`` below — the exact path recomputes
+the XLA reset every step, which dominates its cost); 0 keeps exact
+per-step resets.
 """
 
 from __future__ import annotations
@@ -50,6 +52,17 @@ from pyflyt_tpu.envs.packed_dogfight import (
 @struct.dataclass
 class SelfPlayState:
     inner: PackedDogfightEnvState
+    key: Array
+
+
+@struct.dataclass
+class SelfPlayAutoResetState:
+    """Carry for the amortized (cached) arena-reset fast path."""
+
+    env_state: SelfPlayState
+    cache_inner: PackedDogfightEnvState
+    cache_obs: Array  # (N, 2, obs)
+    step_idx: Array
     key: Array
 
 
@@ -115,28 +128,14 @@ class SelfPlayDogfightEnv:
             info={"health": self._flat(own_health)},
         )
 
-    def autoreset_step(
-        self, state: SelfPlayState, actions: Array
-    ) -> tuple[SelfPlayState, StepOut]:
-        """Step + arena-level exact auto-reset (fresh spawn per done arena);
-        pre-reset observations surface as ``terminal_observation``."""
-        b = actions.shape[0]
-        n = b // 2
-        new_state, out = self.step(state, actions)
-        inner = new_state.inner
-        # arena is done when either row is
-        row_done = out.termination | out.truncation  # (B,)
-        match_done = jnp.any(row_done.reshape(n, 2), axis=1)  # (N,)
-
-        key, sub = jax.random.split(state.key)
-        reset_inner, reset_obs = self.penv.reset(jax.random.split(sub, n))
-
-        # splice per-arena: flat drone order is [d0 arenas..., d1 arenas...]
+    def _splice(self, inner, reset_inner, match_done):
+        """done arenas take ``reset_inner``'s entries; flat drone order is
+        [d0 arenas..., d1 arenas...]; the live key stream stays."""
         mask2n = jnp.concatenate([match_done, match_done])
         maskf = mask2n.astype(inner.packed.dtype).reshape(
             1, inner.packed.shape[1], -1
         )
-        merged = PackedDogfightEnvState(
+        return PackedDogfightEnvState(
             packed=jnp.where(maskf > 0.5, reset_inner.packed, inner.packed),
             key=inner.key,
             alive=jnp.where(
@@ -153,6 +152,22 @@ class SelfPlayDogfightEnv:
                 inner.past_actions,
             ),
         )
+
+    def autoreset_step(
+        self, state: SelfPlayState, actions: Array
+    ) -> tuple[SelfPlayState, StepOut]:
+        """Step + arena-level exact auto-reset (fresh spawn per done arena);
+        pre-reset observations surface as ``terminal_observation``."""
+        b = actions.shape[0]
+        n = b // 2
+        new_state, out = self.step(state, actions)
+        # arena is done when either row is
+        row_done = out.termination | out.truncation  # (B,)
+        match_done = jnp.any(row_done.reshape(n, 2), axis=1)  # (N,)
+
+        key, sub = jax.random.split(state.key)
+        reset_inner, reset_obs = self.penv.reset(jax.random.split(sub, n))
+        merged = self._splice(new_state.inner, reset_inner, match_done)
         obs = jnp.where(
             match_done[:, None, None],
             reset_obs,
@@ -162,4 +177,69 @@ class SelfPlayDogfightEnv:
         info["terminal_observation"] = out.obs
         return SelfPlayState(inner=merged, key=key), out.replace(
             obs=obs, info=info
+        )
+
+    # ---- amortized auto-reset (base.py cached semantics, arena-level) ------
+    def cached_autoreset_init(
+        self, keys: Array
+    ) -> tuple[SelfPlayAutoResetState, Array]:
+        """Resets the batch AND fills a cached spawn pool: done arenas
+        substitute their cached spawn instead of recomputing the XLA reset
+        every step (the exact path's dominant cost — docs/PERF.md self-play
+        section); the pool regenerates every ``refresh`` steps."""
+        state, obs = self.reset(keys)
+        n = keys.shape[0] // 2
+        cache_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(
+            keys[:n]
+        )
+        cache_inner, cache_obs = self.penv.reset(cache_keys)
+        return (
+            SelfPlayAutoResetState(
+                env_state=state,
+                cache_inner=cache_inner,
+                cache_obs=cache_obs,
+                step_idx=jnp.zeros((), jnp.int32),
+                key=jax.random.fold_in(keys[0], 0xCACE),
+            ),
+            obs,
+        )
+
+    def cached_autoreset_step(
+        self, ars: SelfPlayAutoResetState, actions: Array, refresh: int = 64
+    ) -> tuple[SelfPlayAutoResetState, StepOut]:
+        b = actions.shape[0]
+        n = b // 2
+        state, out = self.step(ars.env_state, actions)
+        row_done = out.termination | out.truncation
+        match_done = jnp.any(row_done.reshape(n, 2), axis=1)
+
+        merged = self._splice(state.inner, ars.cache_inner, match_done)
+        obs = jnp.where(
+            match_done[:, None, None],
+            ars.cache_obs,
+            out.obs.reshape(n, 2, -1),
+        ).reshape(b, -1)
+
+        key, sub = jax.random.split(ars.key)
+
+        def do_refresh(_):
+            return self.penv.reset(jax.random.split(sub, n))
+
+        def keep(_):
+            return ars.cache_inner, ars.cache_obs
+
+        cache_inner, cache_obs = jax.lax.cond(
+            ars.step_idx % refresh == refresh - 1, do_refresh, keep, None
+        )
+        info = dict(out.info)
+        info["terminal_observation"] = out.obs
+        return (
+            SelfPlayAutoResetState(
+                env_state=SelfPlayState(inner=merged, key=state.key),
+                cache_inner=cache_inner,
+                cache_obs=cache_obs,
+                step_idx=ars.step_idx + 1,
+                key=key,
+            ),
+            out.replace(obs=obs, info=info),
         )

@@ -50,6 +50,7 @@ def add_env_args(p: argparse.ArgumentParser):
     p.add_argument("--damage_per_hit", type=float, default=0.02)
     p.add_argument("--max_duration_seconds", type=float, default=60.0)
     p.add_argument("--agent_hz", type=int, default=30)
+    p.add_argument("--cached_reset_refresh", type=int, default=64)
     p.add_argument("--layer_size", type=int, default=256)
     p.add_argument("--num_of_layers", type=int, default=2)
     p.add_argument("--init_log_std", type=float, default=-1.0)
@@ -73,7 +74,9 @@ def mk_ppo(args, env):
             # arenas reset mid-rollout many times early on: the slot
             # bootstrap's one-truncation invariant doesn't hold here
             slot_bootstrap=False,
-            cached_reset_refresh=0,
+            # amortized arena-spawn pool (selfplay_dogfight.
+            # cached_autoreset_step); 0 = exact per-step resets
+            cached_reset_refresh=args.cached_reset_refresh,
         ),
     )
 

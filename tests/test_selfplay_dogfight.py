@@ -91,6 +91,45 @@ def test_autoreset_spawns_fresh_arena():
     assert np.all(np.isfinite(np.asarray(out.obs)))
 
 
+def test_cached_autoreset_matches_exact_between_resets():
+    """The cached pool path steps identically to the exact path until a
+    reset fires (same kernel step; only the spawn source differs)."""
+    env = make_env()
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    st, obs0 = env.reset(keys)
+    ars, obs0c = env.cached_autoreset_init(keys)
+    np.testing.assert_array_equal(np.asarray(obs0), np.asarray(obs0c))
+    act = jnp.tile(jnp.asarray([0.05, 0.0, 0.0, 0.75]), (B, 1))
+    for _ in range(2):
+        st, out = env.autoreset_step(st, act)
+        ars, outc = env.cached_autoreset_step(ars, act, refresh=64)
+        done = np.asarray(out.termination | out.truncation)
+        if not done.any():
+            np.testing.assert_allclose(
+                np.asarray(out.obs), np.asarray(outc.obs), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.reward), np.asarray(outc.reward), atol=1e-6
+            )
+
+
+def test_cached_autoreset_respawns():
+    """Cached path replaces done arenas with pool spawns and keeps
+    stepping finitely."""
+    env = make_env(max_duration_seconds=0.05)
+    keys = jax.random.split(jax.random.PRNGKey(4), B)
+    ars, _ = env.cached_autoreset_init(keys)
+    act = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.75]), (B, 1))
+    step = jax.jit(lambda a, x: env.cached_autoreset_step(a, x, 8))
+    saw = False
+    for _ in range(env.max_steps + 3):
+        ars, out = step(ars, act)
+        if bool(np.asarray(out.truncation).any()):
+            saw = True
+    assert saw
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
 def test_selfplay_ppo_learning_smoke():
     """Standard single-agent PPO trains on the self-play batch (finite
     loss, params move) — the reference has no MA training pipeline at all."""
