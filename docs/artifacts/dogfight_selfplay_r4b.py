@@ -59,7 +59,7 @@ for tag, cached in (("exact", 0), ("cached64", 64)):
     setups[tag] = (args, env, ppo, runner, it)
 
 for tag, (args, env, ppo, runner, it) in setups.items():
-    jax.block_until_ready(jax.tree.leaves(it(runner).params))
+    jax.block_until_ready(jax.tree.leaves(it(runner)))
     print("warm", tag, round(time.time() - T0), "s", flush=True)
 
 times = {t: [] for t in setups}
@@ -67,7 +67,7 @@ for rep in range(5):
     for tag, (args, env, ppo, runner, it) in setups.items():
         t0 = time.perf_counter()
         out = it(runner)
-        jax.block_until_ready(jax.tree.leaves(out.params))
+        jax.block_until_ready(jax.tree.leaves(out))
         times[tag].append(time.perf_counter() - t0)
 
 for tag, (args, *_r) in setups.items():
