@@ -24,7 +24,7 @@ def timeit(fn, *args, reps=2):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_env(name, env, num_envs, steps, action):
+def bench_env(name, env, num_envs, steps, action, reps=2):
     from pyflyt_tpu.envs import autoreset_init, cached_autoreset_step
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
@@ -37,7 +37,7 @@ def bench_env(name, env, num_envs, steps, action):
             return a, out.reward
         return jax.lax.scan(body, ars, None, length=steps)
 
-    dt = timeit(chunk, ars)
+    dt = timeit(chunk, ars, reps=reps)
     print(json.dumps({
         "metric": f"{name} env-steps/s ({num_envs} envs)",
         "value": round(num_envs * steps / dt),
@@ -419,9 +419,14 @@ def main():
 
     gates = QuadXGatesEnv()
     g_envs, g_steps = 256, 64
+    # reps=6: at ~40 ms/chunk this row sits in tunnel-latency noise at the
+    # default 2 reps — bench_suite_r4b read 280K where the identical
+    # dedicated bench (gates_render_r4.py, reps=3, fresh process) read
+    # 392K; more reps tighten the gate (VERDICT r4 weak #7)
     bench_env(
         "QuadX-Gates (128x128 raycast)", gates, g_envs, g_steps,
         jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 0.5]), (g_envs, 1)),
+        reps=6,
     )
 
     # fused PPO train iteration

@@ -89,6 +89,9 @@ class PackedQuadXModHoveringEnv:
     base: QuadXModHoveringEnv
 
     native_batch = True  # PPO: skip the per-env vmap (rl/ppo.py)
+    # truncation fires only at step_count >= max_steps (step() below), so
+    # the slot-bootstrap auto-select may use its one-per-rollout slot
+    time_limit_truncation_only = True
 
     @classmethod
     def create(cls, **kwargs) -> "PackedQuadXModHoveringEnv":

@@ -75,6 +75,10 @@ class SelfPlayDogfightEnv:
     )
 
     native_batch = True
+    # Partner death truncates a row at ANY step, arbitrarily often per
+    # rollout — PPO's slot_bootstrap auto-select must stay off (its slot
+    # holds one truncation per env per rollout; see rl/ppo.py::_use_slot).
+    time_limit_truncation_only = False
 
     @property
     def base(self):

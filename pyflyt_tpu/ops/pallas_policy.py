@@ -89,7 +89,8 @@ def build_policy_value_forward(
     def run(obs, leaves):
         n = obs.shape[0]
         ck = min(chunk, n)
-        assert n % ck == 0, (n, ck)
+        while n % ck:  # same fallback as build_logp_forward: halve until
+            ck //= 2  # the chunk divides the batch (e.g. 3000 envs @ 2048)
         const = lambda g: (0, 0)  # noqa: E731
         kwargs = {}
         if not interpret:

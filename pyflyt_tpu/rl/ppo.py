@@ -79,6 +79,11 @@ class PPOConfig:
     # epoch-level averaging (grad-norm clip and Adam run on local
     # gradients), a documented deviation from the global-minibatch XLA
     # path. Advantage normalization uses GLOBAL minibatch stats either way.
+    # Curve-level evidence that the deviated optimizer trains equivalently
+    # (2-device CPU mesh, 2 seeds x 300 updates of QuadX-Hover: final
+    # rewards interleave across seeds, arm gap 0.06 vs seed spread 0.48):
+    # docs/artifacts/fused_sgd_mesh_curves_cpu.jsonl; PPO.__init__ also
+    # warns at construction on a >1-device mesh.
     # ROUND-4 TRAINING-HEALTH NOTE (probes r4f C2 / r4n / r4o / r4q): a
     # first failed fused 3B run looked like a Mosaic-lowering bias, but
     # controlled measurement dissolved that: Mosaic tanh/exp are
@@ -243,6 +248,22 @@ class PPO:
         # with use_mesh). Only consulted by the fused-SGD path; the XLA
         # epoch is mesh-agnostic (jit inserts its collectives).
         self.mesh = mesh
+        if mesh is not None and config.fused_sgd and mesh.size > 1:
+            import warnings
+
+            # local-Adam + epoch-level pmean deviates from the
+            # global-minibatch XLA optimizer (see the PPOConfig.fused_sgd
+            # note); surfaced at runtime so multi-chip users don't
+            # attribute curve differences to the kernel. Curve-level
+            # 2-device equivalence evidence:
+            # docs/artifacts/fused_sgd_mesh_curves_cpu.jsonl.
+            warnings.warn(
+                f"fused_sgd on a {mesh.size}-device mesh runs local-Adam "
+                "with epoch-level parameter averaging — a documented "
+                "deviation from the single-device/global-minibatch "
+                "optimizer. See PPOConfig.fused_sgd.",
+                stacklevel=2,
+            )
         low, high = env.action_bounds()
         self.action_low = jnp.asarray(low if action_low is None else action_low)
         self.action_high = jnp.asarray(high if action_high is None else action_high)
@@ -369,12 +390,37 @@ class PPO:
             )
         return autoreset_step(self.env, env_state, action)
 
+    def _use_slot(self) -> bool:
+        """Resolves ``PPOConfig.slot_bootstrap`` (None = auto).
+
+        The slot path stores at most ONE truncation per env per rollout, so
+        auto only selects it when the env's truncations come solely from its
+        time limit AND the limit exceeds the rollout window. Envs whose
+        truncation can fire more than once per rollout (e.g.
+        ``SelfPlayDogfightEnv``: partner death truncates arbitrarily often)
+        declare ``time_limit_truncation_only = False`` and fall back to the
+        exact in-scan vf(term_obs) apply. Plain ``FunctionalEnv``s driven via
+        ``envs.base`` truncate only on the time limit, so they default True;
+        ``native_batch`` adapters must declare the attribute to opt in.
+        """
+        cfg = self.config
+        if cfg.slot_bootstrap is not None:
+            return cfg.slot_bootstrap
+        max_steps = getattr(self.env, "max_steps", None)
+        time_limit_only = getattr(
+            self.env,
+            "time_limit_truncation_only",
+            not getattr(self.env, "native_batch", False),
+        )
+        return (
+            max_steps is not None
+            and max_steps > cfg.rollout_steps
+            and time_limit_only
+        )
+
     def _rollout(self, runner: RunnerState):
         cfg = self.config
-        use_slot = cfg.slot_bootstrap
-        if use_slot is None:
-            max_steps = getattr(self.env, "max_steps", None)
-            use_slot = max_steps is not None and max_steps > cfg.rollout_steps
+        use_slot = self._use_slot()
         saw_term = [False]  # set during tracing of the scan body
 
         def body(carry, t_idx):

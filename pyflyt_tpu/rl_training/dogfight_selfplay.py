@@ -50,7 +50,14 @@ def add_env_args(p: argparse.ArgumentParser):
     p.add_argument("--damage_per_hit", type=float, default=0.02)
     p.add_argument("--max_duration_seconds", type=float, default=60.0)
     p.add_argument("--agent_hz", type=int, default=30)
-    p.add_argument("--cached_reset_refresh", type=int, default=64)
+    # 0 = exact per-step arena resets (repo convention: exact semantics by
+    # default). The validated fast path is 64 — the amortized arena-spawn
+    # pool is 3.0x faster (6.01M vs 2.0M agent-steps/s @ 8192 rows) and
+    # reached the 256/256 duel result (dogfight_selfplay_r4b_tpu.jsonl);
+    # pass --cached_reset_refresh 64 for training runs.
+    p.add_argument("--cached_reset_refresh", type=int, default=0,
+                   help="reset-pool refresh period; 0 = exact per-step "
+                        "resets (default), 64 = validated 3x fast path")
     p.add_argument("--layer_size", type=int, default=256)
     p.add_argument("--num_of_layers", type=int, default=2)
     p.add_argument("--init_log_std", type=float, default=-1.0)

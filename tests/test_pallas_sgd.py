@@ -269,6 +269,29 @@ def test_policy_forward_matches_network(monkeypatch):
     )
 
 
+def test_policy_forward_chunk_fallback():
+    """A batch not divisible by the requested chunk must halve the chunk
+    until it divides (advisor r4, low) — same fallback as
+    build_logp_forward — instead of assert-failing at trace time."""
+    from pyflyt_tpu.ops import pallas_policy, pallas_sgd
+
+    cfg = dataclasses.replace(CFG, pi_sizes=(16,), vf_sizes=(16,))
+    ppo = PPO(QuadXHoverEnv(max_duration_seconds=2.0), cfg)
+    runner = ppo.init(jax.random.PRNGKey(5))
+    # 192 % 128 != 0 -> effective chunk 64
+    obs = jax.random.normal(jax.random.PRNGKey(6), (192, runner.obs.shape[-1]))
+    leaves = pallas_sgd.params_to_leaves(runner.params)
+    kw = dict(obs_dim=obs.shape[-1], act_dim=4,
+              pi_sizes=tuple(cfg.feature_sizes) + tuple(cfg.pi_sizes),
+              vf_sizes=tuple(cfg.feature_sizes) + tuple(cfg.vf_sizes))
+    m_a, v_a = pallas_policy.build_policy_value_forward(chunk=128, **kw)(
+        obs, leaves)
+    m_b, v_b = pallas_policy.build_policy_value_forward(chunk=64, **kw)(
+        obs, leaves)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    np.testing.assert_array_equal(np.asarray(v_a), np.asarray(v_b))
+
+
 def test_fused_rollout_forward_exact_with_f32_matmuls(monkeypatch):
     """With f32 kernel matmuls the fused-forward rollout reproduces the XLA
     rollout exactly (same keys -> same actions/log_probs/values)."""

@@ -292,3 +292,48 @@ def test_slot_bootstrap_matches_inscan():
         np.asarray(trajs[False].reward), np.asarray(trajs[True].reward),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_slot_bootstrap_auto_select_respects_truncation_shape():
+    """slot_bootstrap=None (auto) must only pick the slot path for envs
+    whose truncation fires at most once per env per rollout (advisor r4,
+    medium): plain FunctionalEnvs truncate only on the time limit, but a
+    native-batch adapter like SelfPlayDogfightEnv truncates on partner
+    death arbitrarily often and must fall back to the in-scan apply."""
+    cfg = dataclasses.replace(SMALL, rollout_steps=8)
+
+    env = QuadXHoverEnv(max_duration_seconds=1.0, agent_hz=40)  # 40 steps
+    assert PPO(env, cfg)._use_slot() is True
+    # rollout covers whole episodes -> nothing to defer
+    assert PPO(
+        env, dataclasses.replace(cfg, rollout_steps=64)
+    )._use_slot() is False
+
+    from pyflyt_tpu.envs.quadx_mod.packed_hovering import (
+        PackedQuadXModHoveringEnv,
+    )
+    from pyflyt_tpu.envs.selfplay_dogfight import SelfPlayDogfightEnv
+
+    packed = PackedQuadXModHoveringEnv.create(flight_mode=9)
+    assert packed.time_limit_truncation_only is True
+    assert PPO(packed, cfg)._use_slot() is True
+
+    sp = SelfPlayDogfightEnv()
+    assert sp.time_limit_truncation_only is False
+    assert PPO(sp, cfg)._use_slot() is False  # auto must NOT pick slot
+    # an unknown native-batch adapter (no declaration) defaults to safe
+    class Anon:
+        native_batch = True
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.max_steps = inner.max_steps
+
+        def action_bounds(self):
+            return self._inner.action_bounds()
+
+    assert PPO(Anon(sp), cfg)._use_slot() is False
+    # explicit config always wins over auto
+    assert PPO(
+        sp, dataclasses.replace(cfg, slot_bootstrap=True)
+    )._use_slot() is True
