@@ -96,6 +96,99 @@ class ActorCritic(nn.Module):
         return mean, jnp.broadcast_to(log_std, mean.shape), value[..., 0]
 
 
+class _StridedConv(nn.Module):
+    """One 3x3 stride-2 SAME conv layer with selectable lowering.
+
+    Parameter layout is identical to ``nn.Conv`` (``kernel`` (3,3,Cin,F),
+    ``bias`` (F,), lecun-normal/zeros init), so checkpoints trained with one
+    ``impl`` load under any other — the impls are exact reformulations of
+    the same math, they only change how XLA sees it:
+
+    - ``conv``   — ``nn.Conv`` (lax.conv_general_dilated). XLA:TPU lowers
+      tiny-channel NHWC convs with most of the MXU tile padded.
+    - ``im2col`` — ``lax.conv_general_dilated_patches`` + one dot_general:
+      (B·H'·W', 9·Cin) x (9·Cin, F).
+    - ``s2d``    — space-to-depth: pad H,W to the SAME-conv extent, fold
+      2x2 spatial blocks into channels (Cin -> 4·Cin), then the stride-2
+      3x3 conv becomes a VALID stride-1 2x2 conv = one dot with a
+      zero-embedded (16·Cin, F) kernel — 4x the contraction depth of
+      im2col, the classic TPU small-conv packing (cf. the public
+      cloud-TPU ResNet space-to-depth trick).
+    """
+
+    features: int
+    impl: str = "conv"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        import jax.lax as lax
+
+        cin = x.shape[-1]
+        # identical names/shapes/inits to nn.Conv so the param tree stays
+        # "Conv_i": {kernel, bias} across impls (old checkpoints load)
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features), jnp.float32,
+        ).astype(self.dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        lead = x.shape[:-3]
+        h, w = x.shape[-3], x.shape[-2]
+        oh, ow = -(-h // 2), -(-w // 2)  # SAME stride-2 output extent
+        x2 = x.reshape((-1,) + x.shape[-3:])
+        if self.impl == "conv":
+            out = lax.conv_general_dilated(
+                x2, kernel, (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias
+            return out.reshape(*lead, oh, ow, self.features)
+        if self.impl == "im2col":
+            patches = lax.conv_general_dilated_patches(
+                x2, (3, 3), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (B, oh, ow, Cin*9), channel-major (c, kh, kw)
+            kmat = kernel.transpose(2, 0, 1, 3).reshape(cin * 9, self.features)
+            out = patches @ kmat + bias
+            return out.reshape(*lead, oh, ow, self.features)
+        if self.impl == "s2d":
+            # explicit SAME padding, then grow to the even extent the 2x2
+            # block fold needs: He = 2*oh + 2 (the extra zero rows are only
+            # touched through zero kernel taps)
+            pad_lo_h = max((oh - 1) * 2 + 3 - h, 0) // 2
+            pad_lo_w = max((ow - 1) * 2 + 3 - w, 0) // 2
+            he, we = 2 * oh + 2, 2 * ow + 2
+            xp = jnp.pad(
+                x2,
+                ((0, 0), (pad_lo_h, he - h - pad_lo_h),
+                 (pad_lo_w, we - w - pad_lo_w), (0, 0)),
+            )
+            b = xp.shape[0]
+            # fold 2x2 blocks into channels: (p, q, c) channel order
+            y = xp.reshape(b, he // 2, 2, we // 2, 2, cin)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, he // 2, we // 2, 4 * cin
+            )
+            # 2x2 VALID window via 4 shifted views, (a, b) major order
+            rows = []
+            for a in (0, 1):
+                for bb in (0, 1):
+                    rows.append(y[:, a : a + oh, bb : bb + ow, :])
+            patches = jnp.concatenate(rows, axis=-1)  # (B, oh, ow, 16*Cin)
+            # zero-embed the 3x3 kernel into the (a,b,p,q,c) layout:
+            # K2[a,b,p,q,c,f] = K[2a+p, 2b+q, c, f] (taps di/dj==3 are 0)
+            k4 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            k2 = k4.reshape(2, 2, 2, 2, cin, self.features)  # (a,p,b,q,c,f)
+            kmat = k2.transpose(0, 2, 1, 3, 4, 5).reshape(
+                16 * cin, self.features
+            )
+            out = patches @ kmat + bias
+            return out.reshape(*lead, oh, ow, self.features)
+        raise ValueError(f"unknown conv impl {self.impl!r}")
+
+
 class VisionActorCritic(nn.Module):
     """Actor-critic for image+vector dict observations (the Gates task).
 
@@ -127,6 +220,9 @@ class VisionActorCritic(nn.Module):
     init_log_std: float = 0.0
     log_std_range: tuple[float, float] | None = None
     dtype: Any = jnp.float32
+    # conv lowering: "conv" | "im2col" | "s2d" — exact reformulations of
+    # the same math with identical param trees (see _StridedConv)
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, obs: Array) -> tuple[Array, Array, Array]:
@@ -139,11 +235,13 @@ class VisionActorCritic(nn.Module):
         img = obs[..., i0 : i0 + img_size].reshape(
             *obs.shape[:-1], c, h, w
         )
-        x = (img.astype(self.dtype) / 255.0).transpose(0, 2, 3, 1)  # NHWC
-        for f in self.conv_features:
+        # NCHW -> NHWC, rank-generically (any number of leading batch dims)
+        x = jnp.moveaxis(img.astype(self.dtype) / 255.0, -3, -1)
+        for i, f in enumerate(self.conv_features):
             x = nn.relu(
-                nn.Conv(
-                    f, kernel_size=(3, 3), strides=(2, 2), dtype=self.dtype
+                _StridedConv(
+                    f, impl=self.conv_impl, dtype=self.dtype,
+                    name=f"Conv_{i}",
                 )(x)
             )
         x = x.reshape(*x.shape[:-3], -1)

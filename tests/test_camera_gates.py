@@ -260,6 +260,63 @@ def test_vision_net_fused_paths_guarded():
         PPO(env, PPOConfig(fused_sgd=True), network=net)
 
 
+def test_vision_conv_impls_exact_parity():
+    """The three conv lowerings (conv / im2col / s2d) are exact
+    reformulations of the same math with identical param trees — same
+    params give bit-comparable outputs at f32 (rl/networks._StridedConv);
+    archived nn.Conv-era checkpoints load under any impl."""
+    from pyflyt_tpu.rl.networks import VisionActorCritic
+
+    kw = dict(action_dim=4, image_offset=10, image_shape=(4, 16, 16),
+              conv_features=(8, 16), feature_sizes=(16,))
+    obs = jax.random.uniform(
+        jax.random.PRNGKey(0), (5, 10 + 4 * 16 * 16 + 6),
+        minval=0.0, maxval=255.0,
+    )
+    nets = {impl: VisionActorCritic(conv_impl=impl, **kw)
+            for impl in ("conv", "im2col", "s2d")}
+    params = nets["conv"].init(jax.random.PRNGKey(1), obs)
+    # the r4-era tree shape: Conv_i/{kernel,bias}
+    assert "Conv_0" in params["params"] and "kernel" in params["params"]["Conv_0"]
+    ref = nets["conv"].apply(params, obs)
+    for impl in ("im2col", "s2d"):
+        got = nets[impl].apply(params, obs)
+        for a, b, nm in zip(ref, got, ("mean", "log_std", "value")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                err_msg=f"{impl}:{nm}",
+            )
+
+
+def test_vision_net_rank_generic():
+    """The NCHW->NHWC move must be rank-independent (advisor r4, low):
+    a doubly-batched observation must produce the same outputs as the
+    flattened single-batch apply."""
+    from pyflyt_tpu.rl.networks import VisionActorCritic
+
+    net = VisionActorCritic(
+        action_dim=4, image_offset=10, image_shape=(4, 8, 8),
+        conv_features=(8,), feature_sizes=(16,),
+    )
+    obs_size = 10 + 4 * 8 * 8 + 6  # vec prefix + NCHW image + vec suffix
+    obs = jax.random.uniform(
+        jax.random.PRNGKey(0), (2, 3, obs_size), minval=0.0, maxval=255.0
+    )
+    params = net.init(jax.random.PRNGKey(1), obs.reshape(6, -1))
+    m_flat, s_flat, v_flat = net.apply(params, obs.reshape(6, -1))
+    m_2d, s_2d, v_2d = net.apply(params, obs)
+    # tolerance: XLA batches the conv differently for (6,...) vs (2,3,...)
+    # leading dims — behavioral (axis-order) equivalence is what's tested
+    np.testing.assert_allclose(
+        np.asarray(m_2d.reshape(6, -1)), np.asarray(m_flat),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_2d.reshape(6)), np.asarray(v_flat),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_tracking_camera():
     """is_tracking_camera parity (reference camera.py:86,105-137): the eye
     is displaced by the link-frame offset and the view re-aims at the
