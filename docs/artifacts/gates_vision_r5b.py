@@ -71,18 +71,26 @@ def make_net():
     )
 
 
-SHAPES = [(256, 128), (512, 64), (1024, 32), (2048, 16), (4096, 8)]
+# (num_envs, rollout_steps, cached_reset_refresh). Part A's L-stage 512env
+# regression + the stage-P numbers localize the rollout cost to the
+# per-step FULL reset recompute (the r4 recipe never set
+# cached_reset_refresh, so autoreset_step re-ran the 10-step stabilization
+# reset + render for every env every step) — the cached pool is the
+# primary lever, the shape sweep then isolates batch amortization on top.
+SHAPES = [(256, 128, 0), (256, 128, 64), (512, 64, 64), (1024, 32, 64),
+          (2048, 16, 64), (4096, 8, 64)]
 its, runners = {}, {}
-for ne, rs in SHAPES:
+for ne, rs, crr in SHAPES:
     cfg = PPOConfig(num_envs=ne, rollout_steps=rs, num_epochs=4,
                     num_minibatches=8, learning_rate=3e-4, clip_eps=0.2,
-                    init_log_std=-0.5)
+                    init_log_std=-0.5, cached_reset_refresh=crr)
     p = PPO(ENV, cfg, network=make_net())
-    runners[(ne, rs)] = p.init(jax.random.PRNGKey(0))
-    its[(ne, rs)] = jax.jit(p.train_iteration)
-    out = its[(ne, rs)](runners[(ne, rs)])
+    runners[(ne, rs, crr)] = p.init(jax.random.PRNGKey(0))
+    its[(ne, rs, crr)] = jax.jit(p.train_iteration)
+    out = its[(ne, rs, crr)](runners[(ne, rs, crr)])
     jax.block_until_ready(jax.tree.leaves(out))
-    print("compiled", (ne, rs), f"{round(time.time() - T0)}s", flush=True)
+    print("compiled", (ne, rs, crr), f"{round(time.time() - T0)}s",
+          flush=True)
 
 REPS = 5
 acc = {k: [] for k in its}
@@ -99,23 +107,24 @@ for k in its:
     dt = sum(ts) / len(ts)
     rate = 32768 / dt
     emit({"stage": "B1", "num_envs": k[0], "rollout_steps": k[1],
+          "cached_reset_refresh": k[2],
           "impl": IMPL, "ms_per_iter": round(dt * 1e3, 1),
           "env_steps_per_s": round(rate),
           "spread_ms": round((max(acc[k]) - min(acc[k])) * 1e3, 1)})
     if rate > best_rate:
         best_k, best_rate = k, rate
+base_dt = (sum(sorted(acc[(256, 128, 0)])[1:-1])
+           / max(len(acc[(256, 128, 0)]) - 2, 1))
 emit({"stage": "B1-best", "shape": best_k,
       "env_steps_per_s": round(best_rate),
-      "speedup_vs_r4_shape": round(best_rate / (32768 / (
-          sum(sorted(acc[(256, 128)])[1:-1])
-          / max(len(acc[(256, 128)]) - 2, 1))), 2)})
+      "speedup_vs_r4_shape": round(best_rate / (32768 / base_dt), 2)})
 del its, runners
 
 # ---- B2: solve check on the best shape --------------------------------------
-ne, rs = best_k
+ne, rs, crr = best_k
 cfg = PPOConfig(num_envs=ne, rollout_steps=rs, num_epochs=4,
                 num_minibatches=8, learning_rate=3e-4, clip_eps=0.2,
-                init_log_std=-0.5)
+                init_log_std=-0.5, cached_reset_refresh=crr)
 ppo = PPO(ENV, cfg, network=make_net())
 rows = []
 
