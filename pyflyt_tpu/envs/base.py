@@ -123,6 +123,19 @@ class AutoResetState:
     key: Array  # PRNG stream for cache refreshes
 
 
+def _unalias(obs: Any) -> Any:
+    """Copies ``obs`` out of any buffers it shares with the env state.
+
+    Dict-obs envs return state fields directly (e.g. QuadXGates
+    ``target_deltas``), so a cached ``(state, obs)`` pair holds the SAME
+    buffer at two pytree leaves — which breaks donated jits ("attempt to
+    donate the same buffer twice", rl/train.py donates the runner).
+    ``optimization_barrier`` forces distinct values/buffers both eagerly
+    and under jit (plain identities would be CSE'd back together).
+    """
+    return jax.lax.optimization_barrier(obs)
+
+
 def autoreset_init(env: FunctionalEnv, keys: Array) -> tuple[AutoResetState, Any]:
     """Resets the batch and fills the reset cache."""
     state, obs = jax.vmap(env.reset)(keys)
@@ -132,7 +145,7 @@ def autoreset_init(env: FunctionalEnv, keys: Array) -> tuple[AutoResetState, Any
         AutoResetState(
             env_state=state,
             cache_state=cache_state,
-            cache_obs=cache_obs,
+            cache_obs=_unalias(cache_obs),
             step_idx=jnp.zeros((), jnp.int32),
             key=jax.random.fold_in(keys[0], 0xCACE),
         ),
@@ -180,7 +193,8 @@ def cached_autoreset_step(
 
     def do_refresh(_):
         new_keys = jax.random.split(sub, num_envs)
-        return jax.vmap(env.reset)(new_keys)
+        st, ob = jax.vmap(env.reset)(new_keys)
+        return st, _unalias(ob)
 
     def keep(_):
         return ars.cache_state, ars.cache_obs

@@ -260,6 +260,30 @@ def test_vision_net_fused_paths_guarded():
         PPO(env, PPOConfig(fused_sgd=True), network=net)
 
 
+def test_cached_reset_dict_obs_donation_safe():
+    """Dict-obs envs return state fields directly in obs, so the cached
+    auto-reset pool used to hold the SAME buffer at two runner leaves —
+    breaking rl/train.py's donated jit with "attempt to donate the same
+    buffer twice". envs.base._unalias must keep cache_obs buffer-distinct
+    both at init and across the in-jit refresh."""
+    from pyflyt_tpu.rl.networks import VisionActorCritic
+    from pyflyt_tpu.rl.ppo import PPO, PPOConfig
+
+    env = QuadXGatesEnv(camera_resolution=(8, 8), num_targets=3)
+    net = VisionActorCritic(
+        action_dim=4, image_offset=env.combined_size, image_shape=(4, 8, 8),
+        conv_features=(8,), feature_sizes=(16,),
+    )
+    cfg = PPOConfig(num_envs=4, rollout_steps=4, num_epochs=1,
+                    num_minibatches=2, cached_reset_refresh=2)
+    ppo = PPO(env, cfg, network=net)
+    runner = ppo.init(jax.random.PRNGKey(0))
+    it = jax.jit(ppo.train_iteration, donate_argnums=(0,))
+    for _ in range(3):  # crosses a refresh boundary (refresh period 2)
+        runner, m = it(runner)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_vision_conv_impls_exact_parity():
     """The three conv lowerings (conv / im2col / s2d) are exact
     reformulations of the same math with identical param trees — same
