@@ -222,7 +222,19 @@ for seed in (0,):
         ev = make_landing_eval(ppo, eval_env, 64)
         runner = ppo.init(jax.random.PRNGKey(seed * 7 + 1))
         if params is not None:
-            runner = runner.replace(params=jax.tree.map(jnp.asarray, params))
+            carried = jax.tree.map(jnp.asarray, params)
+            # re-open exploration at each stage transition: part D showed a
+            # converged-tight sigma (entropy -1.3) cannot adapt the braking
+            # profile to a new drop regime (L3 regressed 29 -> 44 m/s).
+            # The navigation/terminal skill lives in the trunk weights; the
+            # log_std restarts at the stage's init and re-anneals.
+            carried = dict(carried, params=dict(
+                carried["params"],
+                log_std=jnp.full_like(
+                    carried["params"]["log_std"], CFG.init_log_std
+                ),
+            ))
+            runner = runner.replace(params=carried)
         per_update = CFG.batch_size
         updates = budget // per_update
         rows = []
