@@ -96,7 +96,7 @@ CFG = PPOConfig(num_envs=8192, rollout_steps=128, num_epochs=4,
 
 RUNGS = [
     ("L2x", dict(ceiling=150.0, max_displacement=100.0,
-                 accelerate_drop=False), 3_000_000_000),
+                 accelerate_drop=False), 2_200_000_000),
 ]
 
 
@@ -162,7 +162,9 @@ _tmp_env = LandingObjectiveEnv(starting_fuel_ratio=FUEL, ceiling=150.0)
 _tmp_ppo = PPO(_tmp_env, CFG)
 _template = _tmp_ppo.init(jax.random.PRNGKey(0))
 params = jax.tree.map(np.asarray, checkpoint.restore_params(
-    f"{ART}/policies_rocket_landing_L2_r5i", _template.params
+    (f"{ART}/policies_rocket_landing_L2x_r5j"
+     if __import__("os").path.isdir(f"{ART}/policies_rocket_landing_L2x_r5j")
+     else f"{ART}/policies_rocket_landing_L2_r5i"), _template.params
 ))
 del _tmp_env, _tmp_ppo, _template
 
