@@ -312,6 +312,26 @@ def test_vision_conv_impls_exact_parity():
             )
 
 
+def test_strided_conv_impls_odd_sizes():
+    """im2col and s2d must match the stock conv for ODD spatial extents
+    too — the asymmetric SAME padding and the s2d even-extent pad logic
+    both branch on parity (rl/networks._StridedConv)."""
+    from pyflyt_tpu.rl.networks import _StridedConv
+
+    for h in (7, 9, 17, 33):
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, h, h, 5))
+        ref_mod = _StridedConv(6, impl="conv")
+        params = ref_mod.init(jax.random.PRNGKey(1), x)
+        ref = ref_mod.apply(params, x)
+        assert ref.shape == (3, -(-h // 2), -(-h // 2), 6)
+        for impl in ("im2col", "s2d"):
+            got = _StridedConv(6, impl=impl).apply(params, x)
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(got), rtol=2e-5, atol=2e-5,
+                err_msg=f"{impl}@{h}",
+            )
+
+
 def test_vision_net_rank_generic():
     """The NCHW->NHWC move must be rank-independent (advisor r4, low):
     a doubly-batched observation must produce the same outputs as the
