@@ -10,7 +10,7 @@ documented deviation from the global-minibatch XLA optimizer
   arm fused2 — fused_sgd on a 2-device CPU mesh (the deviated semantics,
                kernel in interpret mode)
 
-2 seeds x 300 updates of QuadX-Hover (small net); mean_reward curves +
+3 seeds x 600 updates of QuadX-Hover (small net); mean_reward curves +
 final-params drift are recorded. Equivalence bar: the fused2 curve reaches
 the xla arm's final reward band (within the seed spread) with no
 divergence/NaN.
@@ -52,7 +52,7 @@ CFG = PPOConfig(
     num_envs=128, rollout_steps=32, num_epochs=2, num_minibatches=4,
     feature_sizes=(32, 32), learning_rate=3e-4, init_log_std=-0.5,
 )
-UPDATES = 300
+UPDATES = 600
 EVAL_EVERY = 10
 
 
@@ -101,7 +101,7 @@ def pnorm(tree):
 
 print("devices:", jax.devices(), flush=True)
 finals = {}
-for seed in (0, 1):
+for seed in (0, 1, 2):
     params_by_arm = {}
     for arm in ("xla", "fused2"):
         curve, params = run_arm(arm, seed)
@@ -119,8 +119,8 @@ for seed in (0, 1):
           "param_drift_l2": round(drift, 4),
           "xla_param_l2": round(pnorm(params_by_arm["xla"]), 4)})
 
-x = [finals[("xla", s)] for s in (0, 1)]
-f = [finals[("fused2", s)] for s in (0, 1)]
+x = [finals[("xla", s)] for s in (0, 1, 2)]
+f = [finals[("fused2", s)] for s in (0, 1, 2)]
 spread = max(x) - min(x)
 gap = abs(float(np.mean(x)) - float(np.mean(f)))
 emit({"summary": {
