@@ -80,10 +80,10 @@ class PPOConfig:
     # gradients), a documented deviation from the global-minibatch XLA
     # path. Advantage normalization uses GLOBAL minibatch stats either way.
     # Curve-level evidence that the deviated optimizer trains equivalently
-    # (2-device CPU mesh, 2 seeds x 300 updates of QuadX-Hover: final
-    # rewards interleave across seeds, arm gap 0.06 vs seed spread 0.48):
-    # docs/artifacts/fused_sgd_mesh_curves_cpu.jsonl; PPO.__init__ also
-    # warns at construction on a >1-device mesh.
+    # (2-device CPU mesh, 3 seeds x 600 updates of QuadX-Hover to plateau:
+    # arm reward ranges overlap — xla 2.52-2.58 vs fused 2.43-2.56, arm
+    # gap 0.06): docs/artifacts/fused_sgd_mesh_curves_cpu.jsonl;
+    # PPO.__init__ also warns at construction on a >1-device mesh.
     # ROUND-4 TRAINING-HEALTH NOTE (probes r4f C2 / r4n / r4o / r4q): a
     # first failed fused 3B run looked like a Mosaic-lowering bias, but
     # controlled measurement dissolved that: Mosaic tanh/exp are
